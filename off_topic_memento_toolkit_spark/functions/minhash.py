@@ -1,0 +1,106 @@
+"""MinHash signatures over word shingles + LSH banding parameters.
+
+North-rule addition (no reference counterpart; the dedup parity target is the
+reference's D1-D3 cluster assignments, bin/exclude_duplicates +
+bin/cluster_by_simhash).  Standard construction (Broder 1997):
+
+- shingles: ``k``-word windows over the stemmed token stream, joined by a
+  single space (distinct set per document);
+- ``num_perm`` universal-hash permutations ``(a*x + b) mod (2^61-1)``, with
+  (a, b) derived deterministically from sha256(seed, i) — no wallclock or RNG
+  at call time, so signatures are reproducible across runs/executors;
+- signature[i] = min over shingles of permutation i;
+- LSH: split the signature into ``bands`` bands of ``rows`` rows; documents
+  sharing any (band_index, band_hash) bucket are candidate pairs.
+
+All per-batch work is vectorized numpy (invoked from Arrow-batched pandas
+UDFs).  The a*x multiply wraps mod 2^64 before the Mersenne reduction — the
+map stays deterministic and well-distributed, which is what LSH needs.
+"""
+
+import hashlib
+import struct
+
+import numpy as np
+
+MERSENNE61 = np.uint64((1 << 61) - 1)
+DEFAULT_NUM_PERM = 128
+DEFAULT_SHINGLE_WORDS = 5
+DEFAULT_BANDS = 32
+EMPTY_SLOT = np.uint64((1 << 61) - 1)  # sentinel signature for empty docs
+
+
+def _seeded_coefficients(num_perm: int, seed: int):
+    a = np.empty(num_perm, dtype=np.uint64)
+    b = np.empty(num_perm, dtype=np.uint64)
+    for i in range(num_perm):
+        digest = hashlib.sha256(f"minhash-{seed}-{i}".encode()).digest()
+        ai, bi = struct.unpack("<QQ", digest[:16])
+        a[i] = (ai % ((1 << 61) - 2)) + 1  # a != 0
+        b[i] = bi % ((1 << 61) - 1)
+    return a, b
+
+
+_COEFF_CACHE = {}
+
+
+def permutation_coefficients(num_perm: int = DEFAULT_NUM_PERM, seed: int = 1234567):
+    key = (num_perm, seed)
+    if key not in _COEFF_CACHE:
+        _COEFF_CACHE[key] = _seeded_coefficients(num_perm, seed)
+    return _COEFF_CACHE[key]
+
+
+def shingle_hashes(tokens, shingle_words: int = DEFAULT_SHINGLE_WORDS) -> np.ndarray:
+    """64-bit md5 hashes of the distinct word shingles of a token list."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < shingle_words:
+        shingles = {" ".join(tokens)}
+    else:
+        shingles = {
+            " ".join(tokens[i:i + shingle_words])
+            for i in range(n - shingle_words + 1)
+        }
+    return np.fromiter(
+        (
+            struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+
+
+def minhash_signature(
+    tokens,
+    num_perm: int = DEFAULT_NUM_PERM,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
+    seed: int = 1234567,
+) -> np.ndarray:
+    """uint64[num_perm] signature; EMPTY_SLOT-filled for empty documents."""
+    hashes = shingle_hashes(tokens, shingle_words)
+    if hashes.size == 0:
+        return np.full(num_perm, EMPTY_SLOT, dtype=np.uint64)
+    a, b = permutation_coefficients(num_perm, seed)
+    with np.errstate(over="ignore"):
+        # (num_shingles, num_perm): wrap-mod-2^64 multiply, then Mersenne mod
+        products = (hashes[:, None] * a[None, :] + b[None, :]) % MERSENNE61
+    return products.min(axis=0)
+
+
+def band_hashes(signature: np.ndarray, bands: int = DEFAULT_BANDS) -> list:
+    """Hash each of ``bands`` equal-width bands of the signature (int64 list,
+    signed for Spark LongType)."""
+    rows = len(signature) // bands
+    out = []
+    for band in range(bands):
+        chunk = np.ascontiguousarray(signature[band * rows:(band + 1) * rows])
+        digest = hashlib.md5(chunk.tobytes()).digest()
+        out.append(struct.unpack("<q", digest[:8])[0])
+    return out
+
+
+def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
