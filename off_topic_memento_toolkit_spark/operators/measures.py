@@ -1,0 +1,277 @@
+"""OTMT's TimeMap measure suite as one declarative Spark plan.
+
+Each memento is scored against the FIRST memento of its timeline
+(otmt/timemap_measures.py:105-232).  The reference re-fetches and re-tokenizes
+every document once per measure; here the enrichment is computed once
+(:func:`..operators.timeline.prepare_pages`), the first-memento anchor comes
+from a single window pass, and every cheap kernel is pure JVM column algebra —
+the only Python in the per-measure path is the token-sequence Levenshtein and
+per-row top-20 term extraction, both Arrow-batched.
+
+Physical shape: one shuffle (hash on ``urit`` for the window); all measure
+columns pipeline in the same stage; the long format is an ``explode`` of a
+struct array (no extra shuffle); labels and the overall OR reuse the
+``urit``-clustered layout.
+
+Registry (names, directions, default thresholds) mirrors
+otmt/timemap_measures.py:895-970.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+import pandas as pd
+
+from ..functions.udfs import token_levenshtein_udf
+from .timeline import first_over_timeline, prepare_pages
+
+# otmt/timemap_measures.py:895-970; preproc flags per compute_* wrappers
+MEASURE_REGISTRY = {
+    "cosine":        {"direction": "<", "threshold": 0.12,  "flags": (True, True, True)},
+    "bytecount":     {"direction": "<", "threshold": -0.43, "flags": (False, False, False)},
+    "wordcount":     {"direction": "<", "threshold": -0.70, "flags": (True, True, True)},
+    "tfintersection": {"direction": ">", "threshold": 0.0,  "flags": (True, True, True)},
+    "jaccard":       {"direction": ">", "threshold": 0.96,  "flags": (True, True, True)},
+    "sorensen":      {"direction": ">", "threshold": 0.93,  "flags": (True, True, True)},
+    "raw_simhash":   {"direction": ">", "threshold": 38.0,  "flags": (False, False, False)},
+    "tf_simhash":    {"direction": ">", "threshold": 34.0,  "flags": (True, True, True)},
+    "gensim_lsi":    {"direction": "<", "threshold": 0.07,  "flags": (True, True, True), "num_topics": 10},
+    "gensim_lda":    {"direction": "<", "threshold": 0.15,  "flags": (True, True, True), "num_topics": 2},
+    "levenshtein":   {"direction": ">", "threshold": 0.05,  "flags": (True, True, True)},
+    "nlevenshtein":  {"direction": ">", "threshold": 0.05,  "flags": (True, True, True)},
+}
+
+DEFAULT_MEASURES = ("cosine",)  # bin/detect_off_topic:62 — default is cosine only
+
+from .measures_constants import FIRST_BP_ERROR_MSG, FIRST_EMPTY_MSG  # noqa: E402
+
+ROW_BP_ERROR_MSG = "Boilerplate could not be removed from memento"
+ROW_ACCESS_ERROR_MSG = "Errors were recorded while attempting to access URI-M"
+
+_GROUP_KERNELS = ("cosine", "gensim_lsi", "gensim_lda")
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _top20_terms_udf(tokens: pd.Series) -> pd.Series:
+    """Top-20 TF terms with the reference's exact tie-break: descending sort
+    of (count, token) tuples (otmt/timemap_measures.py:474-516)."""
+
+    def _top(value):
+        if value is None:
+            return None
+        counts = {}
+        for token in value:
+            counts[token] = counts.get(token, 0) + 1
+        ranked = sorted(((c, t) for t, c in counts.items()), reverse=True)
+        return [t for _, t in ranked[:20]]
+
+    return tokens.map(_top)
+
+
+def _pairwise_score_column(name):
+    """JVM-side score expression for one pairwise measure, over the enriched
+    frame with first_* columns present.  Returns (score_col, error_col)."""
+    set_a = F.array_distinct("first_tokens")
+    set_b = F.array_distinct("tokens")
+    inter = F.size(F.array_intersect(set_a, set_b))
+    union = F.size(F.array_union(set_a, set_b))
+
+    if name == "bytecount":
+        score = (F.col("raw_len") / F.col("first_raw_len") - 1).cast("double")
+        first_bad = F.col("first_raw_len").isNull()
+        first_empty = F.col("first_raw_len") == 0
+        row_bad = F.col("raw_len").isNull()
+    elif name == "wordcount":
+        score = (F.col("n_tokens") / F.col("first_n_tokens") - 1).cast("double")
+        first_bad = F.col("first_tokens").isNull()
+        first_empty = F.col("first_n_tokens") == 0
+        row_bad = F.col("tokens").isNull()
+    elif name == "jaccard":
+        score = (F.lit(1.0) - inter / union).cast("double")
+        first_bad = F.col("first_tokens").isNull()
+        first_empty = F.col("first_n_tokens") == 0
+        row_bad = F.col("tokens").isNull()
+    elif name == "sorensen":
+        score = (F.lit(1.0) - (F.lit(2.0) * inter) / (F.size(set_a) + F.size(set_b))).cast("double")
+        first_bad = F.col("first_tokens").isNull()
+        first_empty = F.col("first_n_tokens") == 0
+        row_bad = F.col("tokens").isNull()
+    elif name == "levenshtein":
+        score = token_levenshtein_udf(F.col("first_tokens"), F.col("tokens")).cast("double")
+        first_bad = F.col("first_tokens").isNull()
+        first_empty = F.col("first_n_tokens") == 0
+        row_bad = F.col("tokens").isNull()
+    elif name == "nlevenshtein":
+        lev = token_levenshtein_udf(F.col("first_tokens"), F.col("tokens"))
+        longest = F.greatest("first_n_tokens", "n_tokens")
+        score = F.when(longest == 0, F.lit(0.0)).otherwise(lev / longest).cast("double")
+        first_bad = F.col("first_tokens").isNull()
+        first_empty = F.col("first_n_tokens") == 0
+        row_bad = F.col("tokens").isNull()
+    elif name == "tfintersection":
+        score = F.size(
+            F.array_intersect("first_top20", "top20")
+        ).cast("double")
+        first_bad = F.col("first_tokens").isNull()
+        first_empty = F.col("first_n_tokens") == 0
+        row_bad = F.col("tokens").isNull()
+    elif name == "raw_simhash":
+        score = F.bit_count(
+            F.col("first_raw_simhash").bitwiseXOR(F.col("raw_simhash"))
+        ).cast("double")
+        first_bad = F.col("first_raw_simhash").isNull()
+        first_empty = F.col("first_raw_len") == 0
+        row_bad = F.col("raw_simhash").isNull()
+    elif name == "tf_simhash":
+        score = F.bit_count(
+            F.col("first_tf_simhash").bitwiseXOR(F.col("tf_simhash"))
+        ).cast("double")
+        first_bad = F.col("first_tokens").isNull()
+        first_empty = F.col("first_n_tokens") == 0
+        row_bad = F.col("tokens").isNull()
+    else:
+        raise ValueError(f"unknown pairwise measure {name}")
+
+    # error precedence mirrors compute_score_across_TimeMap: first-memento
+    # problems poison the whole timeline, then per-row problems
+    error = (
+        F.when(first_bad, F.lit(FIRST_BP_ERROR_MSG))
+        .when(first_empty, F.lit(FIRST_EMPTY_MSG))
+        .when(row_bad, F.lit(ROW_BP_ERROR_MSG))
+    )
+    return score, error
+
+
+def enrich_with_firsts(pages: DataFrame, need_top20: bool = False) -> DataFrame:
+    """prepare_pages + first-memento anchor columns (single window shuffle)."""
+    df = prepare_pages(pages)
+    if need_top20:
+        df = df.withColumn("top20", _top20_terms_udf(F.col("tokens")))
+    for column in ("raw_len", "tokens", "n_tokens", "raw_simhash", "tf_simhash"):
+        df = df.withColumn(f"first_{column}", first_over_timeline(column))
+    if need_top20:
+        df = df.withColumn("first_top20", first_over_timeline("top20"))
+    return df
+
+
+def score_timemap_measures(
+    pages: DataFrame,
+    measures=DEFAULT_MEASURES,
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Long-format scores: one row per (urit, urim, measure).
+
+    Columns: urit, urim, measuretype, measure, comparison_score, tokenized,
+    stemmed, removed_boilerplate, topic_status, error_msg.
+    """
+    measures = list(measures)
+    unknown = [m for m in measures if m not in MEASURE_REGISTRY]
+    if unknown:
+        raise ValueError(f"unsupported measures: {unknown}")
+    thresholds = {**{m: MEASURE_REGISTRY[m]["threshold"] for m in measures},
+                  **(thresholds or {})}
+
+    pairwise = [m for m in measures if m not in _GROUP_KERNELS]
+    grouped = [m for m in measures if m in _GROUP_KERNELS]
+
+    need_top20 = "tfintersection" in pairwise
+    df = enrich_with_firsts(pages, need_top20=need_top20)
+
+    entries = []
+    for name in pairwise:
+        score, error = _pairwise_score_column(name)
+        tokenized, stemmed, removed_bp = MEASURE_REGISTRY[name]["flags"]
+        entries.append(
+            F.struct(
+                F.lit(name).alias("measure"),
+                F.when(error.isNull(), score).alias("comparison_score"),
+                F.lit(tokenized).alias("tokenized"),
+                F.lit(stemmed).alias("stemmed"),
+                F.lit(removed_bp).alias("removed_boilerplate"),
+                error.alias("error_msg"),
+            )
+        )
+
+    long_parts = []
+    if entries:
+        long_parts.append(
+            df.select(
+                "urit", "urim",
+                F.explode(F.array(*entries)).alias("entry"),
+            ).select(
+                "urit", "urim",
+                F.lit("timemap measures").alias("measuretype"),
+                F.col("entry.measure").alias("measure"),
+                F.col("entry.comparison_score").alias("comparison_score"),
+                F.col("entry.tokenized").alias("tokenized"),
+                F.col("entry.stemmed").alias("stemmed"),
+                F.col("entry.removed_boilerplate").alias("removed_boilerplate"),
+                F.col("entry.error_msg").alias("error_msg"),
+            )
+        )
+
+    if grouped:
+        from .groupkernels import score_group_measures  # local import, avoids cycle
+
+        long_parts.append(score_group_measures(df, grouped))
+
+    scores = long_parts[0]
+    for part in long_parts[1:]:
+        scores = scores.unionByName(part)
+
+    return label_scores(scores, thresholds)
+
+
+def label_scores(scores: DataFrame, thresholds: dict) -> DataFrame:
+    """Per-measure verdict (otmt/measuremodel.py:456-502): direction op from
+    the registry; error rows get no status."""
+    direction_map = F.create_map(
+        *[x for name in MEASURE_REGISTRY
+          for x in (F.lit(name), F.lit(MEASURE_REGISTRY[name]["direction"]))]
+    )
+    threshold_map = F.create_map(
+        *[x for name, value in thresholds.items()
+          for x in (F.lit(name), F.lit(float(value)))]
+    )
+    direction = direction_map[F.col("measure")]
+    threshold = threshold_map[F.col("measure")]
+    off = (
+        ((direction == "<") & (F.col("comparison_score") < threshold))
+        | ((direction == ">") & (F.col("comparison_score") > threshold))
+    )
+    return scores.withColumn(
+        "topic_status",
+        F.when(F.col("error_msg").isNotNull(), F.lit(None).cast("string"))
+        .when(off, F.lit("off-topic"))
+        .otherwise(F.lit("on-topic")),
+    )
+
+
+def overall_status(scores: DataFrame) -> DataFrame:
+    """OR across measures (otmt/measuremodel.py:504-530): off-topic if ANY
+    measure voted off-topic; all-error mementos get no overall status."""
+    return scores.groupBy("urit", "urim").agg(
+        F.when(
+            F.max(F.when(F.col("topic_status") == "off-topic", 1).otherwise(0)) == 1,
+            F.lit("off-topic"),
+        )
+        .when(
+            F.count(F.col("topic_status")) > 0,
+            F.lit("on-topic"),
+        )
+        .alias("overall_topic_status"),
+        F.max("error_msg").alias("any_error_msg"),
+    )
+
+
+def memento_metadata(pages: DataFrame) -> DataFrame:
+    """Per-memento metadata table (otmt/metadata_calcluations.py): raw simhash
+    value, content length, language passthrough, memento datetime."""
+    df = prepare_pages(pages)
+    return df.select(
+        "urit", "urim",
+        F.col("raw_simhash").alias("simhash"),
+        F.col("raw_len").alias("content_length"),
+        F.col("lang").alias("language"),
+        F.col("warc_ts").alias("memento_datetime"),
+    )

@@ -1,0 +1,81 @@
+"""Timeline (TimeMap) construction over the ``pages`` table.
+
+Reference model: mementos grouped per original URL, ordered by
+(memento-datetime, URI-M) with the URI string breaking datetime ties
+(otmt/collectionmodel.py:196-203, otmt/input_types.py:114-135).  The "first
+memento" anchor every measure compares against (otmt/timemap_measures.py:148)
+is a window ``first_value`` — no join, one shuffle on the group key.
+
+URI synthesis (otmt/input_types.py:105-108,160-162):
+    urim = from-warc::{yyyyMMddHHmmss}::{url}
+    urit = from-warc::timemap::{url}
+"""
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import (
+    extract_text_udf,
+    simhash_raw_udf,
+    simhash_tokens_udf,
+    tokenize_udf,
+)
+
+
+def with_memento_identity(pages: DataFrame) -> DataFrame:
+    """Add urim/urit columns derived from (url, warc_ts)."""
+    return pages.withColumn(
+        "urim",
+        F.concat(
+            F.lit("from-warc::"),
+            F.date_format("warc_ts", "yyyyMMddHHmmss"),
+            F.lit("::"),
+            F.col("url"),
+        ),
+    ).withColumn("urit", F.concat(F.lit("from-warc::timemap::"), F.col("url")))
+
+
+def timeline_window() -> Window:
+    """Per-TimeMap order: (warc_ts, urim) — the reference's tuple sort with
+    the URI tie-break (otmt/collectionmodel.py:198-203)."""
+    return Window.partitionBy("urit").orderBy("warc_ts", "urim")
+
+
+def first_over_timeline(column: str) -> Column:
+    """First memento's value of ``column`` within the timeline (running frame,
+    so it pipelines in one window pass with no extra join)."""
+    window = (
+        timeline_window()
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return F.first(column, ignorenulls=False).over(window)
+
+
+def prepare_pages(pages: DataFrame, recompute_text: bool = False) -> DataFrame:
+    """One-pass enrichment computed ONCE and shared by every measure — the
+    structural win over the reference, which re-reads and re-tokenizes each
+    memento per measure (otmt/timemap_measures.py:194-197; SURVEY §4.1).
+
+    Adds: urim, urit, text (extracted from html when null/absent),
+    raw_len, tokens, n_tokens, raw_simhash, tf_simhash.
+    """
+    df = with_memento_identity(pages)
+
+    if recompute_text or "text" not in df.columns:
+        df = df.withColumn("text", extract_text_udf(F.col("html")))
+    else:
+        # fill missing text from html (the reference's lazy derive+memoize,
+        # otmt/collectionmodel.py:440-469)
+        df = df.withColumn(
+            "text",
+            F.coalesce(F.col("text"), extract_text_udf(F.col("html"))),
+        )
+
+    df = (
+        df.withColumn("raw_len", F.octet_length("html"))
+        .withColumn("tokens", tokenize_udf(F.col("text")))
+        .withColumn("n_tokens", F.size("tokens"))
+        .withColumn("raw_simhash", simhash_raw_udf(F.col("html")))
+        .withColumn("tf_simhash", simhash_tokens_udf(F.col("tokens")))
+    )
+    return df
