@@ -1,0 +1,174 @@
+"""The bin/ curation chain as DataFrame operators (faithful mode).
+
+Reference dataflow (SURVEY §3.3): detect_off_topic JSON → exclude_duplicates /
+slice_by_datetime → cluster_by_simhash → select_high_quality, passing
+TSV/JSON files between processes.  Here each stage is a DataFrame transform on
+the ``meta`` table (urit, urim, simhash, content_length, memento_datetime) and
+the whole chain is one lineage.
+
+Parity quirks preserved deliberately:
+- D1 (bin/exclude_duplicates:67-106): previous simhash starts at 0, so the
+  first memento is compared against Simhash(0); exact-simhash repeats are
+  skipped entirely (don't update prev); distance/64 > threshold ⇒ NON-duplicate.
+- D2 (bin/slice_by_datetime:60-116): slice 0 gets exactly one element; the
+  trailing partial slice is silently DROPPED (the reference never flushes it).
+- D3 (bin/cluster_by_simhash:72-95): DBSCAN(eps=.3, min_samples=2) on a
+  1-feature matrix of simhash ints ⇒ clusters are groups of ≥2 IDENTICAL
+  values, numbered in order of first appearance within the slice; singletons
+  are -1.
+- D4/D5 (bin/select_high_quality:44-175): quality = 0.15*category +
+  0.45*depth - 0.40*damage (damage service external ⇒ 0); top-1 per
+  (slice, cluster) with ties broken by descending (score, urim).
+"""
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def consider_only(df: DataFrame, consideration: DataFrame, key: str = "urim") -> DataFrame:
+    """F4 consideration-list semi-filter (bin/*:46-79) — broadcast semi-join."""
+    return df.join(F.broadcast(consideration.select(key).distinct()), key, "left_semi")
+
+
+def exclude_duplicates(meta: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """D1 — returns the NON-duplicate rows (bin/exclude_duplicates).
+
+    Input needs: urit, urim, simhash (64-bit value, signed long), and an
+    order column ``memento_datetime``.
+    """
+    order = ("memento_datetime", "urim")
+    seen_window = Window.partitionBy("urit", "simhash").orderBy(*order)
+    first_seen = meta.withColumn("_occurrence", F.row_number().over(seen_window)) \
+                     .filter(F.col("_occurrence") == 1).drop("_occurrence")
+
+    lag_window = Window.partitionBy("urit").orderBy(*order)
+    with_prev = first_seen.withColumn(
+        "_prev_simhash", F.lag("simhash", 1, 0).over(lag_window)
+    )
+    distance = F.bit_count(F.col("simhash").bitwiseXOR(F.col("_prev_simhash")))
+    return (
+        with_prev.filter(distance / 64 > threshold)
+        .drop("_prev_simhash")
+    )
+
+
+def slice_by_datetime(meta: DataFrame) -> DataFrame:
+    """D2 — adds ``slice_id``; drops the reference's never-flushed tail.
+
+    Single global sort — correct at collection scale (a 'collection' in the
+    reference is one Archive-It collection, ≤ millions of rows); the 100 TB
+    dedup path does NOT use slices (it uses LSH+CC, see lsh.py/components.py).
+    """
+    counted = meta.withColumn("_n", F.count("*").over(Window.partitionBy()))
+    slice_count = F.when(
+        F.col("_n") > 28, F.floor(28 + F.log10(F.col("_n")))
+    ).otherwise(F.col("_n"))
+    items_per_slice = F.floor(F.col("_n") / slice_count)
+
+    order_window = Window.orderBy("memento_datetime", "urim")
+    indexed = counted.withColumn("_i", F.row_number().over(order_window) - 1) \
+                     .withColumn("_ips", items_per_slice)
+    slice_id = F.when(F.col("_i") == 0, 0).otherwise(
+        F.ceil(F.col("_i") / F.col("_ips"))
+    )
+    return (
+        indexed.withColumn("slice_id", slice_id.cast("int"))
+        # a slice only exists if the reference closed it (i % ips == 0 reached)
+        .filter(
+            (F.col("_i") == 0)
+            | (F.col("slice_id") * F.col("_ips") <= F.col("_n") - 1)
+        )
+        .drop("_n", "_ips")
+        .withColumnRenamed("_i", "global_position")
+    )
+
+
+def cluster_by_simhash(sliced: DataFrame) -> DataFrame:
+    """D3 — adds ``cluster_id`` per slice: equal-simhash groups of ≥2 get
+    dense ids in order of first appearance; singletons get -1."""
+    group_window = Window.partitionBy("slice_id", "simhash")
+    with_group = sliced.withColumn("_group_size", F.count("*").over(group_window)) \
+                       .withColumn("_first_pos", F.min("global_position").over(group_window))
+
+    clusters = (
+        with_group.filter(F.col("_group_size") >= 2)
+        .select("slice_id", "simhash", "_first_pos")
+        .distinct()
+        .withColumn(
+            "cluster_id",
+            F.row_number().over(
+                Window.partitionBy("slice_id").orderBy("_first_pos")
+            ) - 1,
+        )
+        .drop("_first_pos")
+    )
+    return (
+        with_group.join(clusters, ["slice_id", "simhash"], "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.lit(-1)))
+        .drop("_group_size", "_first_pos")
+    )
+
+
+def _category_column(host):
+    """Hostname → category weight (bin/select_high_quality:44-79)."""
+    def any_match(*patterns):
+        cond = F.lit(False)
+        for p in patterns:
+            cond = cond | host.rlike(p)
+        return cond
+
+    return (
+        F.when(host.isNull(), F.lit(-1.0))
+        .when(any_match("twitter", r"t\.co", r"redd\.it", "facebook", r"fb\.me",
+                        r"plus\.google", "wiki", "globalvoicesonline", "fbcdn"),
+              0.5)
+        .when(any_match("cnn", "bbc", "news", "rosaonline", "aljazeera",
+                        "guardian", "USATODAY", "nytimes", "abc", "foxnews",
+                        "allvoices", "huffingtonpost"), 0.7)
+        .when(any_match("dailymotion", "youtube", r"youtu\.be"), 0.7)
+        .when(any_match("wordpress", "blog"), 0.4)
+        .when(any_match("flickr", r"flic\.kr", "instagram", "twitpic"), 0.6)
+        .otherwise(0.0)
+    )
+
+
+def quality_score(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """D4 — 0.15*category + 0.45*depth (damage external service ⇒ 0).
+
+    depth = slash count of the original URL past 'http://', after dropping a
+    trailing slash and the final character, divided by 10
+    (bin/select_high_quality:81-90 — quirks included)."""
+    url = F.col(url_col)
+    stripped = F.when(url.endswith("/"), F.expr(f"substring({url_col}, 1, length({url_col}) - 1)")).otherwise(url)
+    after_scheme = F.expr(
+        f"substring({'_stripped'}, 8, greatest(length({'_stripped'}) - 8, 0))"
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+
+    with_cols = df.withColumn("_stripped", stripped)
+    depth = (
+        F.size(F.split(after_scheme, "/")) - 1
+    ) / 10.0
+    return (
+        with_cols
+        .withColumn("category_score", _category_column(host))
+        .withColumn("depth_score", depth)
+        .withColumn(
+            "quality",
+            0.15 * F.col("category_score") + 0.45 * F.col("depth_score"),
+        )
+        .drop("_stripped")
+    )
+
+
+def select_representatives(clustered: DataFrame) -> DataFrame:
+    """D5 — top-quality memento per (slice, cluster); desc (score, urim)
+    tie-break mirrors sorted(..., reverse=True)[0]."""
+    window = Window.partitionBy("slice_id", "cluster_id").orderBy(
+        F.desc("quality"), F.desc("urim")
+    )
+    return (
+        clustered.withColumn("_rank", F.row_number().over(window))
+        .filter(F.col("_rank") == 1)
+        .drop("_rank")
+    )

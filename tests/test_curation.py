@@ -1,0 +1,132 @@
+"""Curation chain (D1-D5) vs a straight-line reimplementation of the bin
+scripts' arithmetic (bin/exclude_duplicates, bin/slice_by_datetime,
+bin/cluster_by_simhash, bin/select_high_quality) run on the same rows."""
+
+import math
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import types as T
+
+from off_topic_memento_toolkit_spark.operators.curation import (
+    cluster_by_simhash,
+    exclude_duplicates,
+    quality_score,
+    select_representatives,
+    slice_by_datetime,
+)
+
+META_SCHEMA = T.StructType([
+    T.StructField("urit", T.StringType()),
+    T.StructField("urim", T.StringType()),
+    T.StructField("simhash", T.LongType()),
+    T.StructField("memento_datetime", T.TimestampType()),
+])
+
+
+def _meta_rows():
+    rows = []
+    base = datetime(2016, 1, 1)
+    hashes = [
+        0b1111, 0b1111, 0b1010101010101010101,          # dup then drift
+        (1 << 62) - 1, 37, 37, 41, 0b1111000011110000,
+    ]
+    for tl in range(6):
+        for m in range(8):
+            rows.append((
+                f"urit{tl}",
+                f"urim{tl}-{m}",
+                hashes[(m + tl) % len(hashes)] + tl,
+                base + timedelta(days=tl * 50 + m),
+            ))
+    return rows
+
+
+def _oracle(rows, threshold=0.2):
+    """Line-for-line port of the bin scripts' control flow."""
+    by_urit = {}
+    for urit, urim, shash, mdt in rows:
+        by_urit.setdefault(urit, []).append((mdt, urim, shash))
+    for urit in by_urit:
+        by_urit[urit].sort()
+
+    # exclude_duplicates
+    nondup = []
+    for urit in by_urit:
+        prior, prev = [], 0
+        for mdt, urim, shash in by_urit[urit]:
+            if shash in prior:
+                continue
+            prior.append(shash)
+            if bin(shash ^ prev).count("1") / 64 > threshold:
+                nondup.append(urim)
+            prev = shash
+
+    # slice_by_datetime
+    all_rows = sorted((mdt, urim, shash) for urit, urim, shash, mdt in rows)
+    n = len(all_rows)
+    slice_count = n if n <= 28 else math.floor(28 + math.log10(n))
+    ips = math.floor(n / slice_count)
+    slices, current, number = {}, [], 0
+    for i, (mdt, urim, shash) in enumerate(all_rows):
+        current.append((urim, shash))
+        if i % ips == 0:
+            slices[number] = current
+            number += 1
+            current = []
+
+    # cluster_by_simhash (equal-value groups >=2, ordered by first appearance)
+    clusters = {}
+    for s, members in slices.items():
+        first_pos, sizes = {}, {}
+        for pos, (urim, shash) in enumerate(members):
+            sizes[shash] = sizes.get(shash, 0) + 1
+            first_pos.setdefault(shash, pos)
+        label_for = {}
+        next_label = 0
+        for shash in sorted((h for h, c in sizes.items() if c >= 2),
+                            key=lambda h: first_pos[h]):
+            label_for[shash] = next_label
+            next_label += 1
+        for urim, shash in members:
+            clusters[urim] = (s, label_for.get(shash, -1))
+
+    return set(nondup), slices, clusters
+
+
+@pytest.fixture(scope="module")
+def meta(spark):
+    return spark.createDataFrame(_meta_rows(), schema=META_SCHEMA)
+
+
+def test_exclude_duplicates(spark, meta):
+    expected, _, _ = _oracle(_meta_rows())
+    got = {r.urim for r in exclude_duplicates(meta).collect()}
+    assert got == expected
+
+
+def test_slice_and_cluster(spark, meta):
+    _, slices, clusters = _oracle(_meta_rows())
+    expected = {urim: sc for urim, sc in clusters.items()}
+    sliced = slice_by_datetime(meta)
+    clustered = cluster_by_simhash(sliced)
+    got = {r.urim: (r.slice_id, r.cluster_id) for r in clustered.collect()}
+    assert got == expected
+
+
+def test_quality_and_representatives(spark):
+    rows = [
+        ("http://news.example/a/b/c/", "u1", 0, 0),
+        ("http://blog.example/a", "u2", 0, 0),
+        ("http://other.example/x/y", "u3", 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "url string, urim string, slice_id int, cluster_id int")
+    scored = quality_score(df)
+    got = {r.urim: r for r in scored.collect()}
+    # news host -> 0.7 category; depth of 'ews.example/a/b/c' = 3/10
+    assert got["u1"].category_score == pytest.approx(0.7)
+    assert got["u1"].quality == pytest.approx(0.15 * 0.7 + 0.45 * 0.3)
+    assert got["u2"].category_score == pytest.approx(0.4)
+    assert got["u3"].category_score == pytest.approx(0.0)
+    top = select_representatives(scored).collect()
+    assert len(top) == 1 and top[0].urim == "u1"
