@@ -1,0 +1,132 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`cosine_topk`      — brute-force exact top-k (the correctness
+  baseline): JVM-side ``zip_with``/``aggregate`` dot products, no Python.
+- :func:`lsh_cosine_topk`  — the scale path: random-hyperplane (SRP) LSH
+  bucketing so each query only scores its bucket's collision set; signatures
+  are a deterministic seeded projection evaluated in a vectorized numpy UDF.
+- :func:`embedding_near_duplicates` — pairs with cosine ≥ threshold inside
+  LSH buckets (embedding near-dup channel of the dedup suite).
+
+At 100 TB the broadcast side is the (small) query set; the corpus never
+shuffles for brute force — the join is a broadcast nested loop with partial
+top-k per partition, then a single global top-k reduce.
+"""
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v * v))
+
+
+def cosine_similarity_col(a, b):
+    return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k neighbors for each query (broadcast queries)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine_similarity_col(F.col("_qvec"), F.col("_cvec"))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def make_srp_signature_udf(dim: int, n_planes: int = 16, seed: int = 99):
+    """Signed-random-projection bucket id (int) per embedding, deterministic."""
+    # seeded hyperplanes from sha256 — no RNG state shared across executors
+    raw = b"".join(
+        hashlib.sha256(f"srp-{seed}-{i}".encode()).digest()
+        for i in range((dim * n_planes * 4) // 32 + 1)
+    )
+    planes = np.frombuffer(raw[: dim * n_planes * 4], dtype="<i4").astype(np.float64)
+    planes = planes.reshape(n_planes, dim)
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.IntegerType())
+    def srp_bucket(vecs: pd.Series) -> pd.Series:
+        matrix = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if matrix.size == 0:
+            return pd.Series([], dtype="int32")
+        bits = (matrix @ planes.T) >= 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return srp_bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+    n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing the SRP bucket are scored.
+    Equi-join on the bucket id — a hash join instead of a cross product."""
+    srp = make_srp_signature_udf(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).withColumn("bucket", srp(F.col("_cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).withColumn("bucket", srp(F.col("_qvec")))
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine", cosine_similarity_col(F.col("_qvec"), F.col("_cvec"))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame, threshold: float = 0.95, dim: int = 64,
+    n_planes: int = 12, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b) within SRP buckets."""
+    srp = make_srp_signature_udf(dim, n_planes)
+    sides = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")) \
+              .withColumn("bucket", srp(F.col("vec")))
+    left = sides.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    right = sides.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine_similarity_col("vec_a", "vec_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

@@ -1,0 +1,118 @@
+"""Connected components over a candidate-edge DataFrame — the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SOCC'14), the standard log-round method for
+trillion-edge graphs.
+
+Driver loop of DataFrame self-joins; every iteration ``localCheckpoint()``s
+to cut lineage (north_rule).  Convergence = the edge multiset stops changing
+(checked with a cheap order-insensitive checksum + count, not a full
+``except``).  Node ids must be orderable (long or string); labels are the
+component-minimum node id, so results are canonical and deterministic.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to the minimum
+    of N(u) ∪ {u}."""
+    und = _symmetric(edges)
+    mins = und.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        und.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u over its ≤-neighbors: connect them (and u) to the
+    minimum of that set."""
+    # orient edges so dst <= src
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    mins = oriented.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    joined = oriented.join(mins, "src")
+    neighbor_edges = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    self_edges = joined.select("src", F.col("m").alias("dst")).distinct()
+    return (
+        neighbor_edges.union(self_edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame):
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return row.n, row.h
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 30,
+    checkpoint_dir_writer=None,
+) -> DataFrame:
+    """Edge list (src, dst) → (id, component) with component = min node id.
+
+    ``checkpoint_dir_writer``: optional callable(df, iteration) -> df used by
+    the resumable pipeline to persist per-iteration state (plans/checkpoints);
+    defaults to ``localCheckpoint``.
+    """
+    current = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    current = current.localCheckpoint()
+    previous_sig = _checksum(current)
+
+    for iteration in range(max_iterations):
+        stepped = _small_star(_large_star(current))
+        if checkpoint_dir_writer is not None:
+            stepped = checkpoint_dir_writer(stepped, iteration)
+        else:
+            stepped = stepped.localCheckpoint()
+        signature = _checksum(stepped)
+        current = stepped
+        if signature == previous_sig:
+            break
+        previous_sig = signature
+
+    und = _symmetric(current)
+    labels = und.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("component")
+    )
+    return labels.select(F.col("src").alias("id"), "component")
+
+
+def attach_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "urim",
+    **cc_kwargs,
+) -> DataFrame:
+    """Label every node; isolated nodes become their own singleton component."""
+    labels = connected_components(edges, **cc_kwargs)
+    return (
+        nodes.join(
+            labels.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )

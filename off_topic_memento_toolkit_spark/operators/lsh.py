@@ -1,0 +1,151 @@
+"""Candidate-pair generation at scale: MinHash-LSH and SimHash Hamming-ball.
+
+North-rule core (SURVEY §2.9 "New"): these produce the ``candidate_edges``
+that connected components (components.py) resolves into duplicate clusters.
+
+Scale design:
+- LSH bucket join is an equi-join on (band_index, band_hash) — shuffle on the
+  band key only; no O(n²) anywhere.
+- Hot buckets (boilerplate-heavy shingles, viral hosts) are CAPPED at
+  ``max_bucket_size`` before pair expansion — a bucket of B rows expands to
+  B² /2 pairs, so one mega-bucket can dominate the job; the cap bounds the
+  blowup and the dropped-bucket count is observable in the returned metrics
+  accumulator column (no silent truncation: callers can count
+  ``dropped_buckets``).
+- SimHash channel: split the 64-bit value into ``chunks`` equal bit-slices;
+  by pigeonhole any pair with hamming ≤ chunks-1 collides on at least one
+  slice, so an equi-join per slice finds all candidates for distance
+  ≤ chunks-1; the exact ``bit_count(a^b) <= max_hamming`` verify runs
+  JVM-side after the join.
+"""
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import make_minhash_bands_udf
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "urim",
+    tokens_col: str = "tokens",
+    num_perm: int = 128,
+    shingle_words: int = 5,
+    bands: int = 32,
+    seed: int = 1234567,
+) -> DataFrame:
+    """(id, band, band_hash) — one row per document per band."""
+    udf = make_minhash_bands_udf(num_perm, shingle_words, bands, seed)
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("_tokens"))
+        .filter(F.col("_tokens").isNotNull() & (F.size("_tokens") > 0))
+        .withColumn("_bands", udf(F.col("_tokens")))
+        .select("id", F.posexplode("_bands").alias("band", "band_hash"))
+    )
+
+
+def candidate_pairs_from_buckets(
+    bucketed: DataFrame,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Self-join equal buckets into (id_a < id_b) candidate pairs.
+
+    Buckets larger than ``max_bucket_size`` are dropped (their members are
+    near-certainly caught by other bands; with 32 bands the probability that
+    a true duplicate pair collides ONLY in a mega-bucket is negligible).
+    """
+    sized = bucketed.withColumn(
+        "_bucket_size",
+        F.count("*").over(Window.partitionBy("band", "band_hash")),
+    )
+    bounded = sized.filter(F.col("_bucket_size") <= max_bucket_size).drop("_bucket_size")
+    left = bounded.select(F.col("band"), F.col("band_hash"), F.col("id").alias("id_a"))
+    right = bounded.select(F.col("band"), F.col("band_hash"), F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def dropped_bucket_stats(bucketed: DataFrame, max_bucket_size: int = 200) -> DataFrame:
+    """Observability for the cap: how many buckets/rows were excluded."""
+    return (
+        bucketed.groupBy("band", "band_hash").count()
+        .filter(F.col("count") > max_bucket_size)
+        .agg(
+            F.count("*").alias("dropped_buckets"),
+            F.coalesce(F.sum("count"), F.lit(0)).alias("dropped_rows"),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "urim",
+    tokens_col: str = "tokens",
+    num_perm: int = 128,
+    shingle_words: int = 5,
+    bands: int = 32,
+    seed: int = 1234567,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    bucketed = minhash_band_table(
+        df, id_col, tokens_col, num_perm, shingle_words, bands, seed)
+    return candidate_pairs_from_buckets(bucketed, max_bucket_size)
+
+
+def simhash_chunk_table(
+    df: DataFrame,
+    id_col: str = "urim",
+    simhash_col: str = "simhash",
+    chunks: int = 4,
+) -> DataFrame:
+    """(id, chunk, chunk_value): bit-slices of the 64-bit simhash."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    slices = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col(simhash_col), c * width)
+            .bitwiseAND(F.lit(mask)).alias("chunk_value"),
+        )
+        for c in range(chunks)
+    ])
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(simhash_col).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
+        .withColumn("_slice", F.explode(slices))
+        .select("id", "simhash", "_slice.chunk", "_slice.chunk_value")
+    )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "urim",
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """All pairs with hamming(simhash) ≤ max_hamming, found via chunk
+    equi-joins (exhaustive when max_hamming ≤ chunks-1)."""
+    table = simhash_chunk_table(df, id_col, simhash_col, chunks)
+    sized = table.withColumn(
+        "_bucket_size",
+        F.count("*").over(Window.partitionBy("chunk", "chunk_value")),
+    ).filter(F.col("_bucket_size") <= max_bucket_size).drop("_bucket_size")
+    left = sized.select("chunk", "chunk_value",
+                        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    right = sized.select("chunk", "chunk_value",
+                         F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    return (
+        left.join(right, ["chunk", "chunk_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= max_hamming
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
