@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full off-topic detection (the reference's
+detect_off_topic, SURVEY §3.1) over a pages table synthesized from the
+sf0.001 ``documents`` parquet: per-memento scores vs the first memento of
+each timeline, per-measure labels, overall OR.
+
+``queries()`` — one entry per implemented operator family (SURVEY §2):
+oracle-checked queries are single logical SQL texts rendered for Spark SQL,
+with ``oracle_sql()`` returning the same text rendered for DuckDB; UDF-kernel
+operators (simhash, minhash-LSH, connected components, the full measure
+suite) are rows-only entries.
 """
 
 from __future__ import annotations
@@ -13,26 +18,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from off_topic_memento_toolkit_spark.queries import (
+    ORACLE_QUERIES,
+    make_sql_query,
+    oracle_sql_strings,
+    pages_from_documents,
+    rows_only_queries,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from off_topic_memento_toolkit_spark.plans.pipeline import detect_off_topic
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    result = detect_off_topic(
+        pages,
+        measures=("bytecount", "wordcount", "jaccard", "sorensen",
+                  "tf_simhash", "cosine"),
+    )
+    scores = result["scores"]
+    overall = result["overall"]
+    return scores.join(overall, ["urit", "urim"], "left").select(
+        "urit", "urim", "measure", "comparison_score", "topic_status",
+        "overall_topic_status",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in ORACLE_QUERIES:
+        out[name] = make_sql_query(name)
+    out.update(rows_only_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracle_sql_strings()

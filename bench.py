@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Headline set = the engine's real workload: the full off-topic measure suite,
+the scale dedup pipeline (LSH + simhash + CC), the faithful curation chain,
+and two relational anchors (TPC-H Q1-style, ANN top-k).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from off_topic_memento_toolkit_spark.queries import (  # noqa: E402
+    make_sql_query,
+    pages_from_documents,
+    rows_only_queries,
+)
+from off_topic_memento_toolkit_spark.session import get_spark  # noqa: E402
+
+
+def run(sf_dir: str, cpus: str):
+    spark = get_spark(
+        "otmt-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows_only = rows_only_queries()
+    headline = {
+        "offtopic_measures_full": rows_only["offtopic_measures_full"],
+        "dedup_clusters_cc": rows_only["dedup_clusters_cc"],
+        "curation_story": rows_only["curation_story"],
+        "minhash_lsh_pairs": rows_only["minhash_lsh_pairs"],
+        "ann_lsh_topk": rows_only["ann_lsh_topk"],
+        "tpch_pricing_summary": make_sql_query("tpch_pricing_summary"),
+        "jaccard_vs_first": make_sql_query("jaccard_vs_first"),
+        "events_hourly": make_sql_query("events_hourly"),
+    }
+
+    n_docs = pages_from_documents(spark, sf_dir).count()
+
+    timings = {}
+    total_start = time.time()
+    for name, fn in headline.items():
+        start = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - start, 3)
+    total = round(time.time() - total_start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # docs/sec over the document-processing queries (the driver's north metric)
+    doc_queries = ("offtopic_measures_full", "dedup_clusters_cc",
+                   "minhash_lsh_pairs", "curation_story")
+    doc_time = sum(timings[q] for q in doc_queries)
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs * len(doc_queries) / doc_time, 2),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    run(sf_dir, cpus)

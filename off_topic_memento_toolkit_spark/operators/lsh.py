@@ -108,7 +108,7 @@ def simhash_chunk_table(
     slices = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col(simhash_col), c * width)
+            F.shiftrightunsigned(F.col("simhash"), c * width)
             .bitwiseAND(F.lit(mask)).alias("chunk_value"),
         )
         for c in range(chunks)

@@ -1,0 +1,127 @@
+"""End-to-end pipelines: off-topic detection (detect_off_topic), the faithful
+curation chain, and the resumable dedup-at-scale pipeline.
+
+Physical shapes (SURVEY §3.1/§4.3):
+- detect_off_topic: scan → window (one hash shuffle on urit) → kernels
+  (pipelined) → labels → overall agg (reuses urit clustering) — a single
+  exchange for the whole measure suite.
+- dedup: signatures (map-only) → band explode + bucket join (shuffle on band
+  key) → verify (pair join) → CC loop (checkpointed per iteration) →
+  clusters; every stage is a named checkpoint table so a relaunch resumes.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.components import attach_components
+from ..operators.curation import (
+    cluster_by_simhash,
+    exclude_duplicates,
+    quality_score,
+    select_representatives,
+    slice_by_datetime,
+)
+from ..operators.lsh import minhash_candidate_pairs, simhash_candidate_pairs
+from ..operators.measures import (
+    memento_metadata,
+    overall_status,
+    score_timemap_measures,
+)
+from ..operators.timeline import prepare_pages
+from ..operators.verify import verified_pairs_jaccard
+
+
+def detect_off_topic(
+    pages: DataFrame,
+    measures=("cosine",),
+    thresholds: dict | None = None,
+):
+    """The flagship query (bin/detect_off_topic): per-memento scores vs the
+    first memento, per-measure labels, and the overall OR."""
+    scores = score_timemap_measures(pages, measures=measures, thresholds=thresholds)
+    overall = overall_status(scores)
+    meta = memento_metadata(pages)
+    return {"scores": scores, "overall": overall, "meta": meta}
+
+
+def offtopic_uri_lists(overall: DataFrame):
+    """S12 — on/off-topic URI-M lists (bin/detect_off_topic:136-164)."""
+    off = overall.filter(F.col("overall_topic_status") == "off-topic").select("urim")
+    on = overall.filter(F.col("overall_topic_status") == "on-topic").select("urim")
+    return {"offtopic": off, "ontopic": on}
+
+
+def story_pipeline(meta: DataFrame, dedup_threshold: float = 0.2) -> DataFrame:
+    """Faithful curation chain: exclude duplicates → slice → cluster →
+    quality-pick one representative per (slice, cluster)."""
+    nondup = exclude_duplicates(meta, threshold=dedup_threshold)
+    sliced = slice_by_datetime(nondup)
+    clustered = cluster_by_simhash(sliced)
+    # reference quality operates on the URI-M string (embedded original URL)
+    scored = quality_score(clustered, url_col="urim")
+    return select_representatives(scored)
+
+
+def dedup_pipeline(
+    pages: DataFrame,
+    store=None,
+    num_perm: int = 128,
+    shingle_words: int = 5,
+    bands: int = 32,
+    min_jaccard: float = 0.8,
+    max_hamming: int = 3,
+    use_simhash_channel: bool = True,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate clusters at scale: MinHash-LSH (+ SimHash Hamming-ball)
+    candidates → verification → large-star/small-star CC.
+
+    ``store``: optional :class:`..plans.checkpoints.CheckpointStore`; when
+    given, each stage becomes a committed, resumable table.
+    """
+    def stage(name, build):
+        if store is None:
+            return build()
+        return store.run_stage(name, build)
+
+    def build_docs():
+        return prepare_pages(pages).select(
+            "urim", "text", "tokens", "raw_simhash"
+        )
+
+    docs = stage("docs", build_docs)
+
+    def build_candidates():
+        minhash_pairs = minhash_candidate_pairs(
+            docs, id_col="urim", tokens_col="tokens",
+            num_perm=num_perm, shingle_words=shingle_words, bands=bands,
+        )
+        if not use_simhash_channel:
+            return minhash_pairs
+        simhash_pairs = simhash_candidate_pairs(
+            docs, id_col="urim", simhash_col="raw_simhash",
+            max_hamming=max_hamming,
+        )
+        return minhash_pairs.union(simhash_pairs).distinct()
+
+    candidates = stage("candidate_edges", build_candidates)
+
+    def build_verified():
+        if not verify:
+            return candidates
+        return verified_pairs_jaccard(
+            candidates, docs, id_col="urim", tokens_col="tokens",
+            min_jaccard=min_jaccard,
+        ).select("id_a", "id_b")
+
+    verified = stage("verified_edges", build_verified)
+
+    def build_clusters():
+        edges = verified.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        return attach_components(
+            docs.select("urim"), edges, id_col="urim"
+        ).select("urim", "component")
+
+    return stage("clusters", build_clusters)
