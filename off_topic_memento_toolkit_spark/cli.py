@@ -1,0 +1,124 @@
+"""spark-submit entrypoint mirroring the reference's detect_off_topic CLI
+(bin/detect_off_topic:13-134) plus the curation/dedup subcommands.
+
+    spark-submit --py-files otmt_spark.zip -m off_topic_memento_toolkit_spark.cli \
+        detect -i pages:/path/to/pages.parquet -o out.json -ot json \
+        -tm cosine=0.12,wordcount
+
+Threshold syntax ``-tm jaccard=0.80,cosine`` matches
+otmt/argument_processing.py:34-66 (missing value → registry default).
+"""
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from .operators.measures import MEASURE_REGISTRY
+from .plans.checkpoints import CheckpointStore
+from .plans.pipeline import dedup_pipeline, detect_off_topic, story_pipeline
+from .session import get_spark
+from .sources.sinks import (
+    save_as_csv,
+    save_as_goldstandard,
+    save_as_json,
+    save_uri_list,
+)
+
+
+def parse_measures(spec: str):
+    """'jaccard=0.80,cosine' → {'jaccard': 0.80, 'cosine': <default>}."""
+    measures, thresholds = [], {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" in part:
+            name, value = part.split("=", 1)
+            thresholds[name] = float(value)
+        else:
+            name = part
+        if name not in MEASURE_REGISTRY:
+            raise SystemExit(f"unknown measure {name!r}; "
+                             f"supported: {sorted(MEASURE_REGISTRY)}")
+        measures.append(name)
+    return measures, thresholds
+
+
+def _read_pages(spark: SparkSession, spec: str):
+    kind, _, path = spec.partition(":")
+    if kind != "pages":
+        raise SystemExit("input spec must be pages:<parquet path> "
+                         "(WARC/Archive-It acquisition is an ingest job, "
+                         "out of scope per SURVEY S4-S6)")
+    return spark.read.parquet(path)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="otmt-spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    detect = sub.add_parser("detect", help="off-topic detection")
+    detect.add_argument("-i", "--input", required=True)
+    detect.add_argument("-o", "--output", required=True)
+    detect.add_argument("-ot", "--output-type", default="json",
+                        choices=["json", "csv", "goldstandard"])
+    detect.add_argument("-tm", "--timemap-measures", default="cosine")
+    detect.add_argument("--offtopic-list")
+    detect.add_argument("--ontopic-list")
+
+    dedup = sub.add_parser("dedup", help="near-duplicate clustering at scale")
+    dedup.add_argument("-i", "--input", required=True)
+    dedup.add_argument("-o", "--output", required=True)
+    dedup.add_argument("--checkpoint-dir")
+    dedup.add_argument("--run-id", default="run-0")
+    dedup.add_argument("--num-perm", type=int, default=128)
+    dedup.add_argument("--bands", type=int, default=32)
+    dedup.add_argument("--shingle-words", type=int, default=5)
+    dedup.add_argument("--min-jaccard", type=float, default=0.8)
+
+    story = sub.add_parser("story", help="curation chain (dedup/slice/cluster/pick)")
+    story.add_argument("-i", "--input", required=True)
+    story.add_argument("-o", "--output", required=True)
+
+    args = parser.parse_args(argv)
+    spark = get_spark(f"otmt-spark-{args.command}")
+
+    if args.command == "detect":
+        measures, thresholds = parse_measures(args.timemap_measures)
+        pages = _read_pages(spark, args.input)
+        result = detect_off_topic(pages, measures=measures, thresholds=thresholds)
+        if args.output_type == "json":
+            save_as_json(result["scores"], result["overall"], args.output,
+                         meta=result["meta"])
+        elif args.output_type == "csv":
+            save_as_csv(result["scores"], result["overall"], args.output,
+                        meta=result["meta"])
+        else:
+            save_as_goldstandard(result["overall"], args.output)
+        if args.offtopic_list:
+            save_uri_list(result["overall"], "off-topic", args.offtopic_list)
+        if args.ontopic_list:
+            save_uri_list(result["overall"], "on-topic", args.ontopic_list)
+
+    elif args.command == "dedup":
+        pages = _read_pages(spark, args.input)
+        store = (CheckpointStore(spark, args.checkpoint_dir, args.run_id)
+                 if args.checkpoint_dir else None)
+        clusters = dedup_pipeline(
+            pages, store=store, num_perm=args.num_perm, bands=args.bands,
+            shingle_words=args.shingle_words, min_jaccard=args.min_jaccard,
+        )
+        clusters.write.mode("overwrite").parquet(args.output)
+
+    elif args.command == "story":
+        from .operators.measures import memento_metadata
+        pages = _read_pages(spark, args.input)
+        story_pipeline(memento_metadata(pages)) \
+            .write.mode("overwrite").parquet(args.output)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

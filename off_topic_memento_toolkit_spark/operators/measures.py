@@ -176,6 +176,11 @@ def score_timemap_measures(
 
     need_top20 = "tfintersection" in pairwise
     df = enrich_with_firsts(pages, need_top20=need_top20)
+    if pairwise and grouped:
+        # the union fans out into two plan branches; without a persist the
+        # extract/tokenize UDFs would run once per branch (the reference's
+        # 12x-repreprocess bug reborn at plan level — SURVEY §4.1)
+        df = df.persist()
 
     entries = []
     for name in pairwise:

@@ -1,0 +1,76 @@
+"""Structured Streaming ingest path.
+
+The reference is batch-only (SURVEY §2.11) — its incrementality is disk
+memoization + a resumable directory store.  For a crawl that lands WARC-drop
+parquet continuously, the equivalent streaming plan is:
+
+    readStream (file source over pages parquet)
+      → watermark on warc_ts
+      → extract/tokenize/simhash enrichment (same UDFs as batch)
+      → streaming exact/near-dup suppression via dropDuplicates /
+        flatMapGroupsWithState-style stateful filter
+      → writeStream to the signatures checkpoint table
+
+``build_streaming_enrichment`` wires the readStream; the stateful near-dup
+filter uses ``dropDuplicatesWithinWatermark`` on the simhash value (exact
+match), which is the streaming analogue of D1's "already seen" rule —
+Hamming-ball near-dup needs cross-row joins and stays in the batch/LSH path.
+
+All transformations are identical Column expressions to the batch path, so
+one logical definition serves both (the test exercises the batch-equivalent
+plan; the streaming wiring is exercised with a memory-sink smoke test).
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timeline import prepare_pages
+from ..sources.datagen import PAGES_SCHEMA
+
+
+def build_streaming_enrichment(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """readStream over a pages parquet directory → enriched stream."""
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
+        .withWatermark("warc_ts", watermark)
+    )
+    return prepare_pages(stream)
+
+
+def streaming_near_dup_suppression(enriched: DataFrame) -> DataFrame:
+    """Suppress exact simhash repeats per url within the watermark — the
+    streaming analogue of bin/exclude_duplicates' 'already seen' rule."""
+    return enriched.dropDuplicatesWithinWatermark(["url", "raw_simhash"])
+
+
+def write_signatures_stream(df: DataFrame, out_path: str,
+                            checkpoint_path: str):
+    """Append signatures to the checkpoint table; exactly-once via the
+    streaming commit log."""
+    return (
+        df.select("url", "warc_ts", "urim", "urit", "raw_simhash",
+                  "tf_simhash", "n_tokens")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_exact_dedup_batch_equivalent(pages: DataFrame) -> DataFrame:
+    """The same logical dedup as the stream (url+simhash first-occurrence),
+    expressed on a batch frame — used for correctness checks."""
+    from pyspark.sql import Window
+
+    enriched = prepare_pages(pages)
+    window = Window.partitionBy("url", "raw_simhash").orderBy("warc_ts", "urim")
+    return (
+        enriched.withColumn("_occ", F.row_number().over(window))
+        .filter(F.col("_occ") == 1)
+        .drop("_occ")
+    )

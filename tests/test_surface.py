@@ -1,0 +1,239 @@
+"""Coverage for the remaining operator surface: sinks, collection measures,
+checkpoint/resume, streaming batch-equivalence, multimodal plumbing,
+link-format parsing, gold datafile, CLI argument parsing, LSI/LDA kernels."""
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from off_topic_memento_toolkit_spark.operators.collection import (
+    score_collection_measures,
+)
+from off_topic_memento_toolkit_spark.operators.measures import (
+    overall_status,
+    memento_metadata,
+    score_timemap_measures,
+)
+from off_topic_memento_toolkit_spark.sources.datagen import (
+    PAGES_SCHEMA,
+    generate_pages,
+    pangram_drift_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def drift_pages(spark):
+    return spark.createDataFrame(pangram_drift_rows(), schema=PAGES_SCHEMA)
+
+
+def test_collection_measures(spark, drift_pages):
+    scores = score_collection_measures(drift_pages)
+    rows = scores.collect()
+    assert {r.measure for r in rows} == {"jaccard", "sorensen"}
+    assert {r.measuretype for r in rows} == {"collection measures"}
+    # every doc's tokens ⊆ global set → jaccard = 1 - |A|/|G| ∈ (0, 1)
+    for r in rows:
+        assert r.error_msg is None
+        assert 0.0 < r.comparison_score < 1.0
+        assert r.topic_status in ("on-topic", "off-topic")
+
+
+def test_json_and_csv_sinks(spark, drift_pages, tmp_path):
+    from off_topic_memento_toolkit_spark.sources.sinks import (
+        save_as_csv,
+        save_as_goldstandard,
+        save_as_json,
+    )
+    scores = score_timemap_measures(drift_pages,
+                                    measures=("wordcount", "jaccard"))
+    overall = overall_status(scores)
+    meta = memento_metadata(drift_pages)
+
+    json_path = str(tmp_path / "out.json")
+    save_as_json(scores, overall, json_path, meta=meta)
+    with open(json_path) as fh:
+        data = json.load(fh)
+    urit = next(iter(data))
+    urim = next(iter(data[urit]))
+    node = data[urit][urim]
+    assert "timemap measures" in node
+    assert "wordcount" in node["timemap measures"]
+    assert "comparison score" in node["timemap measures"]["wordcount"]
+    assert "raw memento simhash value" in node
+    assert "memento-datetime" in node
+
+    csv_path = str(tmp_path / "out.csv")
+    save_as_csv(scores, overall, csv_path, meta=meta)
+    with open(csv_path) as fh:
+        header = fh.readline().strip().split(",")
+    assert header[:4] == ["URI-T", "URI-M", "Error", "Error Message"]
+
+    gold_path = str(tmp_path / "gold.tsv")
+    save_as_goldstandard(overall, gold_path)
+    with open(gold_path) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0] == "id\tdate\tURI\tlabel"
+    assert all(line.split("\t")[3] in ("0", "1", "ERROR")
+               for line in lines[1:])
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """North-rule resume: kill-after-stage then relaunch must reuse committed
+    stages and produce identical clusters."""
+    from off_topic_memento_toolkit_spark.plans.checkpoints import CheckpointStore
+    from off_topic_memento_toolkit_spark.plans.pipeline import dedup_pipeline
+
+    pages = generate_pages(spark, n_urls=10, mementos_per_url=4, skew=False,
+                           error_rows=False)
+    root = str(tmp_path / "ckpt")
+
+    store1 = CheckpointStore(spark, root, run_id="r1")
+    # simulate a kill: run only the first two stages
+    store1.run_stage("docs", lambda: __import__(
+        "off_topic_memento_toolkit_spark.operators.timeline",
+        fromlist=["prepare_pages"],
+    ).prepare_pages(pages).select("urim", "text", "tokens", "raw_simhash"))
+    assert store1.is_committed("docs")
+    assert not store1.is_committed("clusters")
+    marker = store1.marker("docs")
+    assert marker["rows"] > 0 and marker["per_partition_rows"]
+
+    # relaunch: full pipeline resumes from the committed docs stage
+    store2 = CheckpointStore(spark, root, run_id="r1")
+    clusters = dedup_pipeline(pages, store=store2).collect()
+    assert store2.is_committed("clusters")
+    assert len(clusters) > 0
+
+    # a third run must be pure reads (results identical)
+    store3 = CheckpointStore(spark, root, run_id="r1")
+    again = dedup_pipeline(pages, store=store3).collect()
+    assert sorted(map(tuple, clusters)) == sorted(map(tuple, again))
+
+
+def test_streaming_batch_equivalence(spark, drift_pages):
+    from off_topic_memento_toolkit_spark.streaming.ingest import (
+        streaming_exact_dedup_batch_equivalent,
+    )
+    out = streaming_exact_dedup_batch_equivalent(drift_pages)
+    # drift fixture: all contents distinct → nothing suppressed
+    assert out.count() == drift_pages.count()
+
+
+def test_streaming_smoke(spark, tmp_path):
+    """readStream → enrichment → availableNow sink actually runs."""
+    from off_topic_memento_toolkit_spark.streaming.ingest import (
+        build_streaming_enrichment,
+        streaming_near_dup_suppression,
+        write_signatures_stream,
+    )
+    pages = generate_pages(spark, n_urls=5, mementos_per_url=3, skew=False,
+                           error_rows=False)
+    src = str(tmp_path / "src")
+    pages.write.parquet(src)
+    enriched = build_streaming_enrichment(spark, src)
+    deduped = streaming_near_dup_suppression(enriched)
+    query = write_signatures_stream(
+        deduped, str(tmp_path / "sig"), str(tmp_path / "ckpt"))
+    query.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "sig"))
+    assert out.count() > 0
+    assert "raw_simhash" in out.columns
+
+
+def test_multimodal_plumbing(spark):
+    from off_topic_memento_toolkit_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        frame_sample_stub,
+    )
+    rows = [
+        ("img-1", "image", b"\x89PNGfakebytes" * 10, "image/png", 64, 64, None),
+        ("aud-1", "audio", b"RIFFfakeaudio" * 20, "audio/wav", None, None, 4000),
+        ("vid-1", "video", b"\x00\x00ftypfake" * 50, "video/mp4", 320, 240, 3000),
+        ("bad-1", "image", None, "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert len(feats["img-1"].feature) == 16
+    assert feats["img-1"].decode_error is None
+    assert feats["bad-1"].feature is None and feats["bad-1"].decode_error
+    # determinism
+    again = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert again["img-1"].feature == feats["img-1"].feature
+
+    frames = frame_sample_stub(media, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    assert sorted(by_id["vid-1"]) == [0, 1000, 2000]
+
+
+def test_timemap_link_parser(spark):
+    from off_topic_memento_toolkit_spark.sources.timemap_links import (
+        convert_link_timemap_to_dict,
+        parse_timemaps_df,
+    )
+    body = """<original1>; rel="original",
+<timemap1>; rel="self"; type="application/link-format"; from="Tue, 21 Mar 2016 15:45:06 GMT",
+<timegate1>; rel="timegate",
+<memento11>; rel="first memento"; datetime="Tue, 21 Jan 2016 15:45:06 GMT",
+<memento12>; rel="memento"; datetime="Sat, 21 Jan 2017 15:45:06 GMT",
+<memento13>; rel="last memento"; datetime="Sun, 21 Jan 2018 15:45:12 GMT"
+"""
+    parsed = convert_link_timemap_to_dict(body)
+    assert parsed["original_uri"] == "original1"
+    assert parsed["timegate_uri"] == "timegate1"
+    assert parsed["timemap_uri"]["link_format"] == "timemap1"
+    assert [m["uri"] for m in parsed["mementos"]["list"]] == [
+        "memento11", "memento12", "memento13"]
+    assert parsed["mementos"]["first"]["uri"] == "memento11"
+    assert parsed["mementos"]["last"]["uri"] == "memento13"
+    assert parsed["mementos"]["first"]["datetime"] == datetime(2016, 1, 21, 15, 45, 6)
+
+    df = spark.createDataFrame([("timemap1", body)], "urit string, body string")
+    rows = parse_timemaps_df(df).collect()
+    assert len(rows) == 3
+    assert rows[0].original_uri == "original1"
+
+
+def test_gold_datafile_roundtrip(spark, tmp_path):
+    from off_topic_memento_toolkit_spark.sources.gold_datafile import (
+        read_gold_datafile,
+    )
+    path = str(tmp_path / "gold.tsv")
+    with open(path, "w") as fh:
+        fh.write("id\tdate\tURI\tlabel\n")
+        fh.write("1\t20160121154506\thttp://a.example/x\t1\n")
+        fh.write("2\t20170301120000\thttp://b.example/y\t0\n")
+    rows = read_gold_datafile(spark, path).orderBy("urit").collect()
+    assert rows[0].urit == "datafile-1"
+    assert rows[0].memento_datetime == datetime(2016, 1, 21, 15, 45, 6)
+    assert rows[1].label == "0"
+
+
+def test_cli_measure_parsing():
+    from off_topic_memento_toolkit_spark.cli import parse_measures
+    measures, thresholds = parse_measures("jaccard=0.80,cosine")
+    assert measures == ["jaccard", "cosine"]
+    assert thresholds == {"jaccard": 0.80}
+    with pytest.raises(SystemExit):
+        parse_measures("nonsense")
+
+
+def test_lsi_lda_group_kernels(spark, drift_pages):
+    scores = score_timemap_measures(
+        drift_pages, measures=("gensim_lsi", "gensim_lda"))
+    rows = scores.collect()
+    by_measure = {}
+    for r in rows:
+        assert r.error_msg is None, r
+        by_measure.setdefault(r.measure, []).append(r)
+    # first memento vs itself ≈ 1.0 for LSI
+    for r in by_measure["gensim_lsi"]:
+        assert -1.0001 <= r.comparison_score <= 1.0001
+    firsts = [r for r in by_measure["gensim_lsi"]
+              if r.urim == min(x.urim for x in rows if x.urit == r.urit)]
+    assert all(abs(r.comparison_score - 1.0) < 1e-9 for r in firsts)
