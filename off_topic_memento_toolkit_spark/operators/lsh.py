@@ -54,11 +54,15 @@ def candidate_pairs_from_buckets(
     near-certainly caught by other bands; with 32 bands the probability that
     a true duplicate pair collides ONLY in a mega-bucket is negligible).
     """
-    sized = bucketed.withColumn(
-        "_bucket_size",
-        F.count("*").over(Window.partitionBy("band", "band_hash")),
+    # hash-agg the oversized buckets (tiny set) and broadcast-anti-join them
+    # away — a sort-based window here would shuffle-sort the whole band table
+    oversized = (
+        bucketed.groupBy("band", "band_hash").count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("band", "band_hash")
     )
-    bounded = sized.filter(F.col("_bucket_size") <= max_bucket_size).drop("_bucket_size")
+    bounded = bucketed.join(
+        F.broadcast(oversized), ["band", "band_hash"], "left_anti")
     left = bounded.select(F.col("band"), F.col("band_hash"), F.col("id").alias("id_a"))
     right = bounded.select(F.col("band"), F.col("band_hash"), F.col("id").alias("id_b"))
     return (
@@ -132,10 +136,13 @@ def simhash_candidate_pairs(
     """All pairs with hamming(simhash) ≤ max_hamming, found via chunk
     equi-joins (exhaustive when max_hamming ≤ chunks-1)."""
     table = simhash_chunk_table(df, id_col, simhash_col, chunks)
-    sized = table.withColumn(
-        "_bucket_size",
-        F.count("*").over(Window.partitionBy("chunk", "chunk_value")),
-    ).filter(F.col("_bucket_size") <= max_bucket_size).drop("_bucket_size")
+    oversized = (
+        table.groupBy("chunk", "chunk_value").count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("chunk", "chunk_value")
+    )
+    sized = table.join(
+        F.broadcast(oversized), ["chunk", "chunk_value"], "left_anti")
     left = sized.select("chunk", "chunk_value",
                         F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"))
     right = sized.select("chunk", "chunk_value",

@@ -97,14 +97,15 @@ def _pairwise_score_column(name):
         first_empty = F.col("first_n_tokens") == 0
         row_bad = F.col("tokens").isNull()
     elif name == "levenshtein":
-        score = token_levenshtein_udf(F.col("first_tokens"), F.col("tokens")).cast("double")
+        # `_lev` computed once upstream and shared with nlevenshtein
+        score = F.col("_lev").cast("double")
         first_bad = F.col("first_tokens").isNull()
         first_empty = F.col("first_n_tokens") == 0
         row_bad = F.col("tokens").isNull()
     elif name == "nlevenshtein":
-        lev = token_levenshtein_udf(F.col("first_tokens"), F.col("tokens"))
         longest = F.greatest("first_n_tokens", "n_tokens")
-        score = F.when(longest == 0, F.lit(0.0)).otherwise(lev / longest).cast("double")
+        score = F.when(longest == 0, F.lit(0.0)) \
+                 .otherwise(F.col("_lev") / longest).cast("double")
         first_bad = F.col("first_tokens").isNull()
         first_empty = F.col("first_n_tokens") == 0
         row_bad = F.col("tokens").isNull()
@@ -142,15 +143,34 @@ def _pairwise_score_column(name):
     return score, error
 
 
-def enrich_with_firsts(pages: DataFrame, need_top20: bool = False) -> DataFrame:
-    """prepare_pages + first-memento anchor columns (single window shuffle)."""
-    df = prepare_pages(pages)
+def enrich_with_firsts(
+    pages: DataFrame,
+    need_top20: bool = False,
+    need_raw_simhash: bool = True,
+    need_tf_simhash: bool = True,
+    need_lev: bool = False,
+) -> DataFrame:
+    """prepare_pages + first-memento anchor columns (single window shuffle).
+
+    Only the columns a requested measure actually consumes are computed —
+    Python UDF columns aren't free, and persist() downstream would
+    materialize them past Catalyst's pruning."""
+    df = prepare_pages(pages, need_raw_simhash=need_raw_simhash,
+                       need_tf_simhash=need_tf_simhash)
     if need_top20:
         df = df.withColumn("top20", _top20_terms_udf(F.col("tokens")))
-    for column in ("raw_len", "tokens", "n_tokens", "raw_simhash", "tf_simhash"):
+    first_columns = ["raw_len", "tokens", "n_tokens"]
+    if need_raw_simhash:
+        first_columns.append("raw_simhash")
+    if need_tf_simhash:
+        first_columns.append("tf_simhash")
+    for column in first_columns:
         df = df.withColumn(f"first_{column}", first_over_timeline(column))
     if need_top20:
         df = df.withColumn("first_top20", first_over_timeline("top20"))
+    if need_lev:
+        df = df.withColumn(
+            "_lev", token_levenshtein_udf(F.col("first_tokens"), F.col("tokens")))
     return df
 
 
@@ -175,7 +195,13 @@ def score_timemap_measures(
     grouped = [m for m in measures if m in _GROUP_KERNELS]
 
     need_top20 = "tfintersection" in pairwise
-    df = enrich_with_firsts(pages, need_top20=need_top20)
+    df = enrich_with_firsts(
+        pages,
+        need_top20=need_top20,
+        need_raw_simhash="raw_simhash" in pairwise,
+        need_tf_simhash="tf_simhash" in pairwise,
+        need_lev=bool({"levenshtein", "nlevenshtein"} & set(pairwise)),
+    )
     if pairwise and grouped:
         # the union fans out into two plan branches; without a persist the
         # extract/tokenize UDFs would run once per branch (the reference's
@@ -272,7 +298,7 @@ def overall_status(scores: DataFrame) -> DataFrame:
 def memento_metadata(pages: DataFrame) -> DataFrame:
     """Per-memento metadata table (otmt/metadata_calcluations.py): raw simhash
     value, content length, language passthrough, memento datetime."""
-    df = prepare_pages(pages)
+    df = prepare_pages(pages, need_tf_simhash=False)
     return df.select(
         "urit", "urim",
         F.col("raw_simhash").alias("simhash"),

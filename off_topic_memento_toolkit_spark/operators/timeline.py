@@ -51,13 +51,20 @@ def first_over_timeline(column: str) -> Column:
     return F.first(column, ignorenulls=False).over(window)
 
 
-def prepare_pages(pages: DataFrame, recompute_text: bool = False) -> DataFrame:
+def prepare_pages(
+    pages: DataFrame,
+    recompute_text: bool = False,
+    need_raw_simhash: bool = True,
+    need_tf_simhash: bool = True,
+) -> DataFrame:
     """One-pass enrichment computed ONCE and shared by every measure — the
     structural win over the reference, which re-reads and re-tokenizes each
     memento per measure (otmt/timemap_measures.py:194-197; SURVEY §4.1).
 
     Adds: urim, urit, text (extracted from html when null/absent),
-    raw_len, tokens, n_tokens, raw_simhash, tf_simhash.
+    raw_len, tokens, n_tokens, and (on demand) raw_simhash / tf_simhash.
+    The simhash flags exist because a later ``persist`` defeats Catalyst's
+    column pruning — don't burn Python time on columns the caller won't use.
     """
     df = with_memento_identity(pages)
 
@@ -75,7 +82,9 @@ def prepare_pages(pages: DataFrame, recompute_text: bool = False) -> DataFrame:
         df.withColumn("raw_len", F.octet_length("html"))
         .withColumn("tokens", tokenize_udf(F.col("text")))
         .withColumn("n_tokens", F.size("tokens"))
-        .withColumn("raw_simhash", simhash_raw_udf(F.col("html")))
-        .withColumn("tf_simhash", simhash_tokens_udf(F.col("tokens")))
     )
+    if need_raw_simhash:
+        df = df.withColumn("raw_simhash", simhash_raw_udf(F.col("html")))
+    if need_tf_simhash:
+        df = df.withColumn("tf_simhash", simhash_tokens_udf(F.col("tokens")))
     return df

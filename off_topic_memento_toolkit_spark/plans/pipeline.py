@@ -85,7 +85,7 @@ def dedup_pipeline(
         return store.run_stage(name, build)
 
     def build_docs():
-        return prepare_pages(pages).select(
+        return prepare_pages(pages, need_tf_simhash=False).select(
             "urim", "text", "tokens", "raw_simhash"
         )
 
