@@ -19,7 +19,7 @@ Scale design:
   JVM-side after the join.
 """
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.udfs import make_minhash_bands_udf
@@ -44,31 +44,39 @@ def minhash_band_table(
     )
 
 
+_PAIR_EXPAND = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+    "y -> struct(x AS u, y AS v))))"
+)
+
+
 def candidate_pairs_from_buckets(
     bucketed: DataFrame,
     max_bucket_size: int = 200,
 ) -> DataFrame:
-    """Self-join equal buckets into (id_a < id_b) candidate pairs.
+    """Equal buckets → (id_a < id_b) candidate pairs.
+
+    ONE shuffle: group each bucket's ids with ``collect_list`` and expand the
+    pairs JVM-side (``transform``/``flatten``/``explode``) — no self-join (a
+    self-join would evaluate the signature-UDF lineage twice and shuffle the
+    band table two more times).
 
     Buckets larger than ``max_bucket_size`` are dropped (their members are
-    near-certainly caught by other bands; with 32 bands the probability that
-    a true duplicate pair collides ONLY in a mega-bucket is negligible).
+    near-certainly caught by other bands; a bucket of B rows expands to B²/2
+    pairs, so one boilerplate mega-bucket could dominate the job —
+    :func:`dropped_bucket_stats` makes the exclusions observable).
     """
-    # hash-agg the oversized buckets (tiny set) and broadcast-anti-join them
-    # away — a sort-based window here would shuffle-sort the whole band table
-    oversized = (
-        bucketed.groupBy("band", "band_hash").count()
-        .filter(F.col("count") > max_bucket_size)
-        .select("band", "band_hash")
-    )
-    bounded = bucketed.join(
-        F.broadcast(oversized), ["band", "band_hash"], "left_anti")
-    left = bounded.select(F.col("band"), F.col("band_hash"), F.col("id").alias("id_a"))
-    right = bounded.select(F.col("band"), F.col("band_hash"), F.col("id").alias("id_b"))
+    buckets = bucketed.groupBy("band", "band_hash").agg(
+        F.collect_list("id").alias("ids"))
+    bounded = buckets.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     return (
-        left.join(right, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bounded.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        .select(
+            F.least("p.u", "p.v").alias("id_a"),
+            F.greatest("p.u", "p.v").alias("id_b"),
+        )
         .distinct()
     )
 
@@ -133,26 +141,31 @@ def simhash_candidate_pairs(
     chunks: int = 4,
     max_bucket_size: int = 500,
 ) -> DataFrame:
-    """All pairs with hamming(simhash) ≤ max_hamming, found via chunk
-    equi-joins (exhaustive when max_hamming ≤ chunks-1)."""
+    """All pairs with hamming(simhash) ≤ max_hamming, found via chunk-bucket
+    grouping (exhaustive when max_hamming ≤ chunks-1 by pigeonhole).
+
+    Same one-shuffle collect+expand shape as the MinHash path; the exact
+    ``bit_count`` verify runs on the expanded pairs, all JVM-side."""
     table = simhash_chunk_table(df, id_col, simhash_col, chunks)
-    oversized = (
-        table.groupBy("chunk", "chunk_value").count()
-        .filter(F.col("count") > max_bucket_size)
-        .select("chunk", "chunk_value")
+    buckets = table.groupBy("chunk", "chunk_value").agg(
+        F.collect_list(F.struct("id", "simhash")).alias("members"))
+    bounded = buckets.filter(
+        (F.size("members") >= 2) & (F.size("members") <= max_bucket_size))
+    expand = (
+        "flatten(transform(members, (x, i) -> "
+        "transform(slice(members, i + 2, size(members) - i - 1), "
+        "y -> struct(x AS u, y AS v))))"
     )
-    sized = table.join(
-        F.broadcast(oversized), ["chunk", "chunk_value"], "left_anti")
-    left = sized.select("chunk", "chunk_value",
-                        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"))
-    right = sized.select("chunk", "chunk_value",
-                         F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"))
     return (
-        left.join(right, ["chunk", "chunk_value"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        bounded.select(F.explode(F.expr(expand)).alias("p"))
         .filter(
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= max_hamming
+            F.bit_count(
+                F.col("p.u.simhash").bitwiseXOR(F.col("p.v.simhash"))
+            ) <= max_hamming
         )
-        .select("id_a", "id_b")
+        .select(
+            F.least("p.u.id", "p.v.id").alias("id_a"),
+            F.greatest("p.u.id", "p.v.id").alias("id_b"),
+        )
         .distinct()
     )

@@ -149,12 +149,23 @@ def enrich_with_firsts(
     need_raw_simhash: bool = True,
     need_tf_simhash: bool = True,
     need_lev: bool = False,
+    strategy: str = "window",
 ) -> DataFrame:
-    """prepare_pages + first-memento anchor columns (single window shuffle).
+    """prepare_pages + first-memento anchor columns.
 
     Only the columns a requested measure actually consumes are computed —
     Python UDF columns aren't free, and persist() downstream would
-    materialize them past Catalyst's pruning."""
+    materialize them past Catalyst's pruning.
+
+    ``strategy``:
+    - ``"window"`` (default): one hash shuffle on urit + per-group sort —
+      optimal when timelines are balanced.
+    - ``"join"``: skew path — derive each timeline's first row with a
+      ``min_by``-style struct aggregation (map-side partial agg, so a viral
+      host's 10^6 mementos never sort in one task) and hash-join it back;
+      AQE's skew-join splitting then handles the join side.  Same result,
+      verified by tests.
+    """
     df = prepare_pages(pages, need_raw_simhash=need_raw_simhash,
                        need_tf_simhash=need_tf_simhash)
     if need_top20:
@@ -164,10 +175,27 @@ def enrich_with_firsts(
         first_columns.append("raw_simhash")
     if need_tf_simhash:
         first_columns.append("tf_simhash")
-    for column in first_columns:
-        df = df.withColumn(f"first_{column}", first_over_timeline(column))
     if need_top20:
-        df = df.withColumn("first_top20", first_over_timeline("top20"))
+        first_columns.append("top20")
+
+    if strategy == "window":
+        for column in first_columns:
+            if column == "top20":
+                df = df.withColumn("first_top20", first_over_timeline("top20"))
+            else:
+                df = df.withColumn(f"first_{column}", first_over_timeline(column))
+    elif strategy == "join":
+        ordering = F.struct(F.col("warc_ts"), F.col("urim"))
+        firsts = df.groupBy("urit").agg(
+            *[
+                F.min_by(column, ordering).alias(f"first_{column}")
+                for column in first_columns
+            ]
+        )
+        df = df.join(firsts, "urit")
+    else:
+        raise ValueError(f"unknown first-anchor strategy {strategy!r}")
+
     if need_lev:
         df = df.withColumn(
             "_lev", token_levenshtein_udf(F.col("first_tokens"), F.col("tokens")))
@@ -178,6 +206,7 @@ def score_timemap_measures(
     pages: DataFrame,
     measures=DEFAULT_MEASURES,
     thresholds: dict | None = None,
+    first_anchor_strategy: str = "window",
 ) -> DataFrame:
     """Long-format scores: one row per (urit, urim, measure).
 
@@ -201,6 +230,7 @@ def score_timemap_measures(
         need_raw_simhash="raw_simhash" in pairwise,
         need_tf_simhash="tf_simhash" in pairwise,
         need_lev=bool({"levenshtein", "nlevenshtein"} & set(pairwise)),
+        strategy=first_anchor_strategy,
     )
     if pairwise and grouped:
         # the union fans out into two plan branches; without a persist the

@@ -90,6 +90,11 @@ def dedup_pipeline(
         )
 
     docs = stage("docs", build_docs)
+    if store is None:
+        # downstream stages (minhash bands, simhash chunks, verify join) each
+        # traverse docs; without the checkpoint table, cache it so the
+        # extract/tokenize/simhash UDF lineage runs once
+        docs = docs.persist()
 
     def build_candidates():
         minhash_pairs = minhash_candidate_pairs(

@@ -400,6 +400,45 @@ GROUP BY event_type, extract(year FROM ts), extract(month FROM ts),
          extract(day FROM ts), extract(hour FROM ts)"""
 
 
+def q_customer_order_totals(d: _Dialect) -> str:
+    return """
+SELECT c.c_mktsegment AS mktsegment,
+       count(DISTINCT c.c_custkey) AS n_customers,
+       count(o.o_orderkey) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment"""
+
+
+def q_nation_order_rollup(d: _Dialect) -> str:
+    return """
+SELECT r.r_name AS region, n.n_name AS nation,
+       count(*) AS n_orders, round(avg(o.o_totalprice), 4) AS avg_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name"""
+
+
+def q_customer_top_orders(d: _Dialect) -> str:
+    return """
+SELECT c_custkey, o_orderkey, rnk FROM (
+  SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+         row_number() OVER (PARTITION BY c.c_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+) _r WHERE rnk <= 3"""
+
+
+def q_events_value_delta(d: _Dialect) -> str:
+    return """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 4) AS delta
+FROM events"""
+
+
 ORACLE_QUERIES = {
     "timeline_first_anchor": q_timeline_first_anchor,
     "bytecount_vs_first": q_bytecount_vs_first,
@@ -421,6 +460,10 @@ ORACLE_QUERIES = {
     "collection_jaccard": q_collection_jaccard,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "events_hourly": q_events_hourly,
+    "customer_order_totals": q_customer_order_totals,
+    "nation_order_rollup": q_nation_order_rollup,
+    "customer_top_orders": q_customer_top_orders,
+    "events_value_delta": q_events_value_delta,
 }
 
 
@@ -516,4 +559,5 @@ def rows_only_queries() -> dict:
         "offtopic_measures_full": q_offtopic_measures_full,
         "curation_story": q_curation_story,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "streaming_dedup_batch": q_streaming_dedup_batch,
     }
