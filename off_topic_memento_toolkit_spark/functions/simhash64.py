@@ -21,8 +21,11 @@ import re
 from collections import Counter
 from functools import lru_cache
 
+import numpy as np
+
 _FEATURE_RE = re.compile(r"[\w一-鿌]+", re.UNICODE)
 _MASK64 = (1 << 64) - 1
+_BIT_INDEX = np.arange(64, dtype=np.uint64)
 
 
 @lru_cache(maxsize=1 << 17)
@@ -31,20 +34,23 @@ def _md5_low64(feature: str) -> int:
 
 
 def simhash_features(weighted_features) -> int:
-    """``(feature, weight)`` pairs → 64-bit simhash value."""
-    v = [0] * 64
-    for feature, weight in weighted_features:
-        h = _md5_low64(feature)
-        for i in range(64):
-            if h & (1 << i):
-                v[i] += weight
-            else:
-                v[i] -= weight
-    value = 0
-    for i in range(64):
-        if v[i] >= 0:
-            value |= 1 << i
-    return value
+    """``(feature, weight)`` pairs → 64-bit simhash value.
+
+    Numerically identical to the scalar algorithm (bit i set iff the weighted
+    vote v[i] >= 0); the per-bit vote is vectorized — the scalar loop is
+    64 Python ops per feature, which dominates document hashing time.
+    """
+    items = list(weighted_features)
+    if not items:
+        return _MASK64  # empty feature set: all v[i] == 0 → all bits set
+    hashes = np.fromiter(
+        (_md5_low64(f) for f, _ in items), dtype=np.uint64, count=len(items))
+    weights = np.fromiter(
+        (w for _, w in items), dtype=np.int64, count=len(items))
+    bits = ((hashes[:, None] >> _BIT_INDEX[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = ((2 * bits - 1) * weights[:, None]).sum(axis=0)
+    value_bits = (votes >= 0).astype(np.uint64)
+    return int((value_bits << _BIT_INDEX).sum(dtype=np.uint64))
 
 
 def simhash_text(content: str) -> int:

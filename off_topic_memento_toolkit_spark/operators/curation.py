@@ -30,6 +30,13 @@ def consider_only(df: DataFrame, consideration: DataFrame, key: str = "urim") ->
     return df.join(F.broadcast(consideration.select(key).distinct()), key, "left_semi")
 
 
+def select_by_language(df: DataFrame, language: str,
+                       lang_col: str = "lang") -> DataFrame:
+    """F3 — keep rows whose detected language equals ``language``
+    (bin/select_by_language:58-74)."""
+    return df.filter(F.col(lang_col) == language)
+
+
 def exclude_duplicates(meta: DataFrame, threshold: float = 0.2) -> DataFrame:
     """D1 — returns the NON-duplicate rows (bin/exclude_duplicates).
 

@@ -37,11 +37,30 @@ spark = get_spark("scaling-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 
-pages = pages_from_documents(spark, {sf_dir!r})
+def replicated_pages(r):
+    # distinct url AND perturbed content per replica — exact replicas would
+    # make every page a member of a {replicate}-clique and the dedup stage
+    # quadratic in the replication factor, which benchmarks the pathology,
+    # not the engine
+    docs = spark.read.parquet({sf_dir!r} + "/documents.parquet")
+    if r > 0:
+        docs = docs.withColumn(
+            "text", F.concat(F.col("text"), F.lit(f" replica marker {{r}}"),
+                             (F.col("doc_id") % 97).cast("string")))
+    return docs.select(
+        F.concat(F.lit(f"http://rep{{r}}.docs.example/site"),
+                 (F.col("doc_id") % 50).cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 3600)
+         .alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p></body></html>")), "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+pages = replicated_pages(0)
 for r in range(1, {replicate}):
-    extra = pages_from_documents(spark, {sf_dir!r}).withColumn(
-        "url", F.concat(F.lit(f"rep{{r}}::"), F.col("url")))
-    pages = pages.unionByName(extra)
+    pages = pages.unionByName(replicated_pages(r))
 pages = pages.repartition(64).persist()
 n_docs = pages.count()
 
