@@ -53,7 +53,7 @@ _PAIR_EXPAND = (
 
 def candidate_pairs_from_buckets(
     bucketed: DataFrame,
-    max_bucket_size: int = 200,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Equal buckets → (id_a < id_b) candidate pairs.
 
@@ -81,7 +81,7 @@ def candidate_pairs_from_buckets(
     )
 
 
-def dropped_bucket_stats(bucketed: DataFrame, max_bucket_size: int = 200) -> DataFrame:
+def dropped_bucket_stats(bucketed: DataFrame, max_bucket_size: int = 64) -> DataFrame:
     """Observability for the cap: how many buckets/rows were excluded."""
     return (
         bucketed.groupBy("band", "band_hash").count()
@@ -101,7 +101,7 @@ def minhash_candidate_pairs(
     shingle_words: int = 5,
     bands: int = 32,
     seed: int = 1234567,
-    max_bucket_size: int = 200,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     bucketed = minhash_band_table(
         df, id_col, tokens_col, num_perm, shingle_words, bands, seed)
@@ -139,7 +139,7 @@ def simhash_candidate_pairs(
     simhash_col: str = "simhash",
     max_hamming: int = 3,
     chunks: int = 4,
-    max_bucket_size: int = 500,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """All pairs with hamming(simhash) ≤ max_hamming, found via chunk-bucket
     grouping (exhaustive when max_hamming ≤ chunks-1 by pigeonhole).
