@@ -85,8 +85,15 @@ def dedup_pipeline(
         return store.run_stage(name, build)
 
     def build_docs():
+        # `nid` — deterministic 64-bit surrogate id used through every
+        # shuffle-heavy stage: pair expansion and CC move 16-byte long pairs
+        # instead of two ~60-char urim strings (~7x fewer shuffle bytes).
+        # At 10^12 docs a 64-bit hash collides (birthday ≈ n²/2^65) — swap in
+        # the 128-bit variant (two xxhash64 salts) when deploying at that
+        # scale; collisions only ever MERGE clusters, never split them.
         return prepare_pages(pages, need_tf_simhash=False).select(
-            "urim", "text", "tokens", "raw_simhash"
+            F.xxhash64("urim").alias("nid"),
+            "urim", "text", "tokens", "raw_simhash",
         )
 
     docs = stage("docs", build_docs)
@@ -98,13 +105,13 @@ def dedup_pipeline(
 
     def build_candidates():
         minhash_pairs = minhash_candidate_pairs(
-            docs, id_col="urim", tokens_col="tokens",
+            docs, id_col="nid", tokens_col="tokens",
             num_perm=num_perm, shingle_words=shingle_words, bands=bands,
         )
         if not use_simhash_channel:
             return minhash_pairs
         simhash_pairs = simhash_candidate_pairs(
-            docs, id_col="urim", simhash_col="raw_simhash",
+            docs, id_col="nid", simhash_col="raw_simhash",
             max_hamming=max_hamming,
         )
         return minhash_pairs.union(simhash_pairs).distinct()
@@ -115,7 +122,7 @@ def dedup_pipeline(
         if not verify:
             return candidates
         return verified_pairs_jaccard(
-            candidates, docs, id_col="urim", tokens_col="tokens",
+            candidates, docs, id_col="nid", tokens_col="tokens",
             min_jaccard=min_jaccard,
         ).select("id_a", "id_b")
 
@@ -125,8 +132,9 @@ def dedup_pipeline(
         edges = verified.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
-        return attach_components(
-            docs.select("urim"), edges, id_col="urim"
-        ).select("urim", "component")
+        labeled = attach_components(
+            docs.select("nid", "urim"), edges, id_col="nid"
+        )
+        return labeled.select("urim", "component")
 
     return stage("clusters", build_clusters)

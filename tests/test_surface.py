@@ -90,12 +90,15 @@ def test_checkpoint_resume(spark, tmp_path):
                            error_rows=False)
     root = str(tmp_path / "ckpt")
 
+    from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
+    from pyspark.sql import functions as F
+
     store1 = CheckpointStore(spark, root, run_id="r1")
-    # simulate a kill: run only the first two stages
-    store1.run_stage("docs", lambda: __import__(
-        "off_topic_memento_toolkit_spark.operators.timeline",
-        fromlist=["prepare_pages"],
-    ).prepare_pages(pages).select("urim", "text", "tokens", "raw_simhash"))
+    # simulate a kill: run only the first stage (same shape the pipeline writes)
+    store1.run_stage("docs", lambda: prepare_pages(
+        pages, need_tf_simhash=False,
+    ).select(F.xxhash64("urim").alias("nid"),
+             "urim", "text", "tokens", "raw_simhash"))
     assert store1.is_committed("docs")
     assert not store1.is_committed("clusters")
     marker = store1.marker("docs")
