@@ -79,8 +79,9 @@ scores.write.format("noop").mode("overwrite").save()
 t_measures = time.time() - start
 
 start = time.time()
-docs = prepare_pages(pages)
-minhash_candidate_pairs(docs, id_col="urim", tokens_col="tokens") \
+docs = prepare_pages(pages, need_tf_simhash=False).select(
+    F.xxhash64("urim").alias("nid"), "tokens")
+minhash_candidate_pairs(docs, id_col="nid", tokens_col="tokens") \
     .write.format("noop").mode("overwrite").save()
 t_dedup = time.time() - start
 
