@@ -78,6 +78,12 @@ scores = score_timemap_measures(
 scores.write.format("noop").mode("overwrite").save()
 t_measures = time.time() - start
 
+# release the measure suite's internal cache before timing the next stage;
+# keep the shared `pages` input cached
+spark.catalog.clearCache()
+pages = pages.persist()
+pages.count()
+
 start = time.time()
 docs = prepare_pages(pages, need_tf_simhash=False).select(
     F.xxhash64("urim").alias("nid"), "tokens")
