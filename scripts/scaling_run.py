@@ -35,6 +35,10 @@ cpus = {cpus}
 # the cluster proxy varies executor count, not partitioning
 spark = get_spark("scaling-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=64)
+# fixed 64-partition shuffles at BOTH levels: AQE's advisory-size coalescing
+# would collapse these small-by-bytes/skewed-by-work shuffles to ~1 task per
+# core, letting a single heavy bucket set the wall time
+spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 spark.sparkContext.setLogLevel("ERROR")
 
 def replicated_pages(r):
