@@ -17,7 +17,7 @@ _LANG_MARKERS = {
     "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
     "fr": ["le", "la", "et", "les", "des", "est", "dans", "que", "une", "pour"],
     "es": ["el", "la", "los", "las", "es", "que", "para", "una", "por", "con"],
-]
+}
 
 
 def _tokens(text_col) -> Column:

@@ -11,10 +11,10 @@ Design for a clean measurement:
 - the corpus is `replicate` perturbed copies of the sf documents table
   (distinct urls AND distinct content — exact replicas would make every page
   a member of a clique and the dedup stage quadratic in the factor);
-- 4 vs 16 cores stays inside the box's physical-parallelism envelope: this
-  32-core VM drops its all-core clock near full width (raw multiprocessing
-  measures 0.84 at 8→32 with zero Spark), which would measure the chip,
-  not the engine.
+- low vs 4x-low cores stays inside the box's physical-parallelism envelope:
+  this 32-core VM drops its all-core clock near full width (raw
+  multiprocessing measures 0.84 at 8→32 with zero Spark), which would
+  measure the chip, not the engine; defaults are 2 vs 8.
 
 Writes BENCH.md.  Usage:
     python scripts/scaling_run.py [--sf-dir DIR] [--replicate K] [--best-of N]
@@ -29,7 +29,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = r"""
-import json, sys, time
+import json, sys, time, os
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from off_topic_memento_toolkit_spark.session import get_spark
@@ -40,7 +41,7 @@ from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
 cpus = {cpus}
 stage = {stage!r}
 spark = get_spark(f"scaling-{{stage}}-{{cpus}}", master=f"local[{cpus}]",
-                  shuffle_partitions=64)
+                  shuffle_partitions=max(64, {cpus} * 8))
 spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -115,9 +116,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    parser.add_argument("--replicate", type=int, default=16)
-    parser.add_argument("--low", type=int, default=4)
-    parser.add_argument("--high", type=int, default=16)
+    parser.add_argument("--replicate", type=int, default=32)
+    parser.add_argument("--low", type=int, default=2)
+    parser.add_argument("--high", type=int, default=8)
     parser.add_argument("--best-of", type=int, default=2,
                         help="runs per (stage, level); best kept "
                              "(ambient-noise control)")

@@ -1,0 +1,98 @@
+"""textstats + ann operators (the training-data extras not covered by the
+oracle battery's SQL twins)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from off_topic_memento_toolkit_spark.operators.ann import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_cosine_topk,
+)
+from off_topic_memento_toolkit_spark.operators.textstats import (
+    exact_duplicates,
+    fingerprint,
+    language_id,
+    quality_features,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the dog sat in the house for a while with it"),
+        (1, "der hund und die katze ist nicht mit der maus in das haus"),
+        (2, "le chat et le chien dans la maison est pour les amis"),
+        (3, "xqz zzv qqw pth"),  # no markers
+        (4, "the cat and the dog sat in the house for a while with it"),  # dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_language_id(spark, docs):
+    got = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "und"
+
+
+def test_quality_features(spark, docs):
+    rows = {r.doc_id: r for r in quality_features(docs).collect()}
+    assert rows[0].quality_ok
+    assert rows[0].stopword_ratio > 0.3
+    assert not rows[3].quality_ok  # < 5 tokens
+
+
+def test_token_counts_and_fingerprint(spark, docs):
+    rows = {r.doc_id: r for r in token_counts(docs).collect()}
+    assert rows[0].tokens_whitespace == 14
+    assert rows[0].tokens_bpe_ish >= 14
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[4] and fp[0] != fp[1]
+    dups = exact_duplicates(fingerprint(docs)).collect()
+    sizes = {r.doc_id: r.dup_group_size for r in dups}
+    assert sizes[0] == 2 and sizes[4] == 2 and sizes[1] == 1
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import math
+    rows = []
+    for i in range(40):
+        angle = (i % 8) / 8 * math.pi
+        vec = [math.cos(angle), math.sin(angle)] + [0.001 * i] * 6
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 2)
+    got = cosine_topk(embeddings, queries, k=3).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r)
+    for q, rows in by_query.items():
+        assert len(rows) == 3
+        # rank 1 is (nearly) the query itself
+        top = min(rows, key=lambda r: r.rank)
+        assert top.cosine == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_contains_self(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 2)
+    got = lsh_cosine_topk(embeddings, queries, k=3, dim=8, n_planes=4).collect()
+    assert {r.query_id for r in got} == {0, 1}
+    for r in got:
+        if r.rank == 1:
+            assert r.cosine == pytest.approx(1.0, abs=1e-6)
+
+
+def test_embedding_near_duplicates(spark, embeddings):
+    pairs = embedding_near_duplicates(
+        embeddings, threshold=0.999, dim=8, n_planes=4).collect()
+    # vectors with the same angle (i % 8) are near-identical
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r.cosine >= 0.999
