@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill scratch on tmpfs when available: the sandbox's virtio
+    # disk has bursty throughput that shows up as bimodal shuffle times;
+    # a real cluster provisions local NVMe for exactly this reason
+    shm = os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE", "/dev/shm/spark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):

@@ -41,7 +41,7 @@ from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
 cpus = {cpus}
 stage = {stage!r}
 spark = get_spark(f"scaling-{{stage}}-{{cpus}}", master=f"local[{cpus}]",
-                  shuffle_partitions=max(64, {cpus} * 8))
+                  shuffle_partitions=128)
 spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -166,7 +166,7 @@ Workload: the full 10-measure off-topic suite and MinHash-LSH candidate
 generation over {n_docs} synthesized pages ({args.replicate}x perturbed
 copies of the `{args.sf_dir}` documents table). Each (stage, parallelism)
 runs in a fresh process (fresh JVM + Python pool), warmup excluded, identical
-64-partition layout at both levels, best of {args.best_of}.
+64-input/128-shuffle partition layout at both levels, best of {args.best_of}.
 `local[{args.low}]` vs `local[{args.high}]` is the sandbox proxy for N vs 4N
 executors (driver instruction); it stays inside the VM's physical-parallelism
 envelope (at 32 threads this VM throttles its all-core clock — raw
