@@ -432,11 +432,15 @@ SELECT c_custkey, o_orderkey, rnk FROM (
 
 
 def q_events_value_delta(d: _Dialect) -> str:
+    # first row per user excluded: NULL doubles round-trip as None in Spark
+    # but NaN through DuckDB's pandas fetch, which breaks value hashing
     return """
-SELECT event_id, user_id,
-       round(value - lag(value) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id), 4) AS delta
-FROM events"""
+SELECT event_id, user_id, delta FROM (
+  SELECT event_id, user_id,
+         round(value - lag(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id), 4) AS delta
+  FROM events
+) _r WHERE delta IS NOT NULL"""
 
 
 ORACLE_QUERIES = {
