@@ -116,17 +116,36 @@ def lsh_cosine_topk(
 def embedding_near_duplicates(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     n_planes: int = 12, id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket_size: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (a < b) within SRP buckets."""
+    """Embedding-cosine near-dup pairs (a < b) within SRP buckets.
+
+    Same one-shuffle collect_list+expand shape as lsh.py (no self-join, so the
+    SRP UDF lineage evaluates ONCE) and the same hot-bucket cap: one
+    degenerate bucket (all-zero / boilerplate embeddings) would otherwise
+    expand to B²/2 pairs."""
     srp = make_srp_signature_udf(dim, n_planes)
     sides = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")) \
               .withColumn("bucket", srp(F.col("vec")))
-    left = sides.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-    right = sides.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    buckets = sides.groupBy("bucket").agg(
+        F.collect_list(F.struct("id", "vec")).alias("members"))
+    bounded = buckets.filter(
+        (F.size("members") >= 2) & (F.size("members") <= max_bucket_size))
+    expand = (
+        "flatten(transform(members, (x, i) -> "
+        "transform(slice(members, i + 2, size(members) - i - 1), "
+        "y -> struct(x AS u, y AS v))))"
+    )
+    pairs = bounded.select(F.explode(F.expr(expand)).alias("p"))
     return (
-        pairs.withColumn("cosine", cosine_similarity_col("vec_a", "vec_b"))
+        pairs.withColumn(
+            "cosine", cosine_similarity_col(F.col("p.u.vec"), F.col("p.v.vec")))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select(
+            F.least("p.u.id", "p.v.id").alias("id_a"),
+            F.greatest("p.u.id", "p.v.id").alias("id_b"),
+            "cosine",
+        )
+        .filter(F.col("id_a") != F.col("id_b"))  # duplicated input ids
         .distinct()
     )

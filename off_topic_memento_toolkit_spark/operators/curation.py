@@ -66,13 +66,19 @@ def slice_by_datetime(meta: DataFrame) -> DataFrame:
     reference is one Archive-It collection, ≤ millions of rows); the 100 TB
     dedup path does NOT use slices (it uses LSH+CC, see lsh.py/components.py).
     """
-    counted = meta.withColumn("_n", F.count("*").over(Window.partitionBy()))
+    # N over the SAME single-partition ordered window as the row index (an
+    # unbounded frame), so both window functions evaluate in ONE Window
+    # operator / one pass — no second all-to-one exchange and no second
+    # evaluation of the (UDF-bearing) input lineage.
+    order_window = Window.orderBy("memento_datetime", "urim")
+    count_window = order_window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    counted = meta.withColumn("_n", F.count("*").over(count_window))
     slice_count = F.when(
         F.col("_n") > 28, F.floor(28 + F.log10(F.col("_n")))
     ).otherwise(F.col("_n"))
     items_per_slice = F.floor(F.col("_n") / slice_count)
 
-    order_window = Window.orderBy("memento_datetime", "urim")
     indexed = counted.withColumn("_i", F.row_number().over(order_window) - 1) \
                      .withColumn("_ips", items_per_slice)
     slice_id = F.when(F.col("_i") == 0, 0).otherwise(

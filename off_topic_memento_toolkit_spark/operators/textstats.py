@@ -98,10 +98,17 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.md5(normalized))
 
 
-def exact_duplicates(df: DataFrame, key_cols=("fingerprint",)) -> DataFrame:
+def exact_duplicates(df: DataFrame, key_cols=("fingerprint",),
+                     order_col: str | None = None) -> DataFrame:
     """Exact dedup via hash-groupBy: returns rows annotated with
-    ``dup_group_size`` and ``is_canonical`` (first by natural order col)."""
+    ``dup_group_size`` and ``is_canonical`` (first by ``order_col``, default
+    the frame's first column — deterministic keeper per group)."""
     from pyspark.sql import Window
 
+    order = order_col or df.columns[0]
     group = Window.partitionBy(*key_cols)
-    return df.withColumn("dup_group_size", F.count("*").over(group))
+    ranked = Window.partitionBy(*key_cols).orderBy(order)
+    return (
+        df.withColumn("dup_group_size", F.count("*").over(group))
+        .withColumn("is_canonical", F.row_number().over(ranked) == 1)
+    )

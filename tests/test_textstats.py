@@ -51,9 +51,12 @@ def test_token_counts_and_fingerprint(spark, docs):
     assert rows[0].tokens_bpe_ish >= 14
     fp = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
     assert fp[0] == fp[4] and fp[0] != fp[1]
-    dups = exact_duplicates(fingerprint(docs)).collect()
+    dups = exact_duplicates(fingerprint(docs), order_col="doc_id").collect()
     sizes = {r.doc_id: r.dup_group_size for r in dups}
     assert sizes[0] == 2 and sizes[4] == 2 and sizes[1] == 1
+    canonical = {r.doc_id: r.is_canonical for r in dups}
+    assert canonical[0] and not canonical[4]  # first doc_id keeps the group
+    assert canonical[1] and canonical[2] and canonical[3]
 
 
 @pytest.fixture(scope="module")
@@ -90,9 +93,25 @@ def test_lsh_topk_contains_self(spark, embeddings):
 
 
 def test_embedding_near_duplicates(spark, embeddings):
-    pairs = embedding_near_duplicates(
-        embeddings, threshold=0.999, dim=8, n_planes=4).collect()
+    df = embedding_near_duplicates(embeddings, threshold=0.999, dim=8, n_planes=4)
+    # scale shape: one shuffle, no self-join (the SRP UDF evaluates once)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    pairs = df.collect()
     # vectors with the same angle (i % 8) are near-identical
     assert len(pairs) > 0
     for r in pairs:
         assert r.cosine >= 0.999
+
+
+def test_embedding_near_duplicates_hot_bucket_capped(spark):
+    # 200 identical vectors = one degenerate bucket; the cap must prevent the
+    # B²/2 blowup (uncapped would be 19900 pairs)
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_duplicates(
+        df, threshold=0.9, dim=4, n_planes=4, max_bucket_size=32)
+    assert pairs.count() == 0  # bucket of 200 > cap 32 → dropped, observable
+    relaxed = embedding_near_duplicates(
+        df.limit(10), threshold=0.9, dim=4, n_planes=4, max_bucket_size=32)
+    assert relaxed.count() == 45  # 10 choose 2 — under the cap, all pairs kept
