@@ -25,6 +25,10 @@ from off_topic_memento_toolkit_spark.queries import (
     pages_from_documents,
     rows_only_queries,
 )
+from off_topic_memento_toolkit_spark.queries_mat import (
+    mat_oracle_sql,
+    mat_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -49,9 +53,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in ORACLE_QUERIES:
         out[name] = make_sql_query(name)
+    out.update(mat_queries())
     out.update(rows_only_queries())
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return oracle_sql_strings()
+    """Dual-dialect SQL queries + materialized-intermediate oracles: the UDF
+    operators' relational remainders are verified in DuckDB over the parquet
+    intermediates the Spark queries write (see queries_mat.py)."""
+    return {**oracle_sql_strings(), **mat_oracle_sql()}

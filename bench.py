@@ -17,11 +17,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# bench measures engine throughput, not the oracle harness: skip the parquet
+# side-writes the correctness gate uses (results identical — queries_mat.py)
+os.environ.setdefault("OTMT_MATERIALIZE", "0")
+
 from off_topic_memento_toolkit_spark.queries import (  # noqa: E402
     make_sql_query,
     pages_from_documents,
     rows_only_queries,
 )
+from off_topic_memento_toolkit_spark.queries_mat import mat_queries  # noqa: E402
 from off_topic_memento_toolkit_spark.session import get_spark  # noqa: E402
 
 
@@ -34,12 +39,13 @@ def run(sf_dir: str, cpus: str):
     spark.sparkContext.setLogLevel("ERROR")
 
     rows_only = rows_only_queries()
+    mat = mat_queries()
     headline = {
         "offtopic_measures_full": rows_only["offtopic_measures_full"],
-        "dedup_clusters_cc": rows_only["dedup_clusters_cc"],
-        "curation_story": rows_only["curation_story"],
-        "minhash_lsh_pairs": rows_only["minhash_lsh_pairs"],
-        "ann_lsh_topk": rows_only["ann_lsh_topk"],
+        "dedup_clusters_cc": mat["dedup_clusters_cc"],
+        "curation_story": mat["curation_story"],
+        "minhash_lsh_pairs": mat["minhash_lsh_pairs"],
+        "ann_lsh_topk": mat["ann_lsh_topk"],
         "tpch_pricing_summary": make_sql_query("tpch_pricing_summary"),
         "jaccard_vs_first": make_sql_query("jaccard_vs_first"),
         "events_hourly": make_sql_query("events_hourly"),

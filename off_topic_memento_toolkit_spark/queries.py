@@ -515,53 +515,18 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rows_only_queries() -> dict:
-    from .operators.ann import lsh_cosine_topk
-    from .operators.lsh import minhash_candidate_pairs, simhash_candidate_pairs
+    """Only the genuinely non-SQL-expressible remainder stays rows-only: the
+    full 11-measure suite (token-sequence levenshtein + truncated-SVD LSI
+    have no DuckDB rendition).  Its 8 relational measures are hash-checked
+    separately by queries_mat.offtopic_measures_core."""
     from .operators.measures import score_timemap_measures
-    from .operators.timeline import prepare_pages
-    from .plans.pipeline import dedup_pipeline, detect_off_topic, story_pipeline
-
-    def q_minhash_lsh_pairs(spark, sf_dir):
-        docs = prepare_pages(pages_from_documents(spark, sf_dir))
-        return minhash_candidate_pairs(docs, id_col="urim", tokens_col="tokens")
-
-    def q_simhash_hamming_pairs(spark, sf_dir):
-        docs = prepare_pages(pages_from_documents(spark, sf_dir))
-        return simhash_candidate_pairs(
-            docs, id_col="urim", simhash_col="raw_simhash", max_hamming=3)
-
-    def q_dedup_clusters_cc(spark, sf_dir):
-        return dedup_pipeline(pages_from_documents(spark, sf_dir))
 
     def q_offtopic_measures_full(spark, sf_dir):
         return score_timemap_measures(
             pages_from_documents(spark, sf_dir),
             measures=("bytecount", "wordcount", "jaccard", "sorensen",
                       "tfintersection", "levenshtein", "nlevenshtein",
-                      "raw_simhash", "tf_simhash", "cosine"),
+                      "raw_simhash", "tf_simhash", "cosine", "gensim_lsi"),
         )
 
-    def q_curation_story(spark, sf_dir):
-        from .operators.measures import memento_metadata
-        meta = memento_metadata(pages_from_documents(spark, sf_dir))
-        return story_pipeline(meta)
-
-    def q_ann_lsh_topk(spark, sf_dir):
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
-                               k=5, dim=64, n_planes=6)
-
-    def q_streaming_dedup_batch(spark, sf_dir):
-        from .streaming.ingest import streaming_exact_dedup_batch_equivalent
-        return streaming_exact_dedup_batch_equivalent(
-            pages_from_documents(spark, sf_dir))
-
-    return {
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_hamming_pairs": q_simhash_hamming_pairs,
-        "dedup_clusters_cc": q_dedup_clusters_cc,
-        "offtopic_measures_full": q_offtopic_measures_full,
-        "curation_story": q_curation_story,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "streaming_dedup_batch": q_streaming_dedup_batch,
-    }
+    return {"offtopic_measures_full": q_offtopic_measures_full}

@@ -1,0 +1,507 @@
+"""Materialized-intermediate oracles for the UDF-kernel queries.
+
+The UDF operators (minhash/simhash signatures, SRP buckets, extract/tokenize)
+can't run inside DuckDB — but everything RELATIONAL downstream of them can.
+So each query here:
+
+1. materializes the Spark-computed intermediate (signatures, band table,
+   meta table, token table) to parquet under ``MAT_ROOT``;
+2. runs the REAL package operator (not a SQL rendition) on the readback;
+3. ships a DuckDB oracle that re-derives the final result from the same
+   parquet with independent SQL (recursive-CTE connected components, window
+   dedup/slice/cluster arithmetic, TF-IDF cosine as plain aggregation SQL).
+
+This turns every former rows-only entry into a hash-checked one: the oracle
+guards the operator's relational semantics, and the pytest golden suite
+guards the UDF kernels themselves (reference constants).
+
+Set ``OTMT_MATERIALIZE=0`` (bench does) to skip the side-writes — the
+returned DataFrames are identical either way because every UDF is
+deterministic; the writes exist only for the DuckDB oracle.
+
+Float columns are rounded to 6 decimals in BOTH dialects so value hashes are
+stable across FP summation orders (numpy vs SQL aggregation).
+"""
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAT_ROOT = "/tmp/otmt_oracle_mat"
+
+
+def materialization_enabled() -> bool:
+    return os.environ.get("OTMT_MATERIALIZE", "1") != "0"
+
+
+def _materialize(df: DataFrame, name: str) -> DataFrame:
+    """Side-write an intermediate for the oracle; return the readback (or the
+    input unchanged when disabled — deterministic UDFs make them equal)."""
+    if not materialization_enabled():
+        return df
+    path = f"{MAT_ROOT}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _mat(name: str) -> str:
+    """DuckDB reader fragment for a materialized intermediate."""
+    return f"read_parquet('{MAT_ROOT}/{name}/*.parquet')"
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import pages_from_documents
+
+    return pages_from_documents(spark, sf_dir)
+
+
+# --------------------------------------------------- streaming_dedup_batch
+
+def q_streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of the streaming dedup (url+simhash first-occurrence);
+    scalar projection only — the driver's canonical sort can't factorize
+    array/binary columns."""
+    from .operators.timeline import prepare_pages
+    from .streaming.ingest import streaming_exact_dedup_batch_equivalent
+
+    pages = _pages(spark, sf_dir)
+    enriched = prepare_pages(pages, need_tf_simhash=False)
+    _materialize(
+        enriched.select("url", "warc_ts", "urim", "urit", "raw_simhash",
+                        "n_tokens"),
+        "stream_pages",
+    )
+    result = streaming_exact_dedup_batch_equivalent(pages)
+    return result.select("url", "urim", "urit", "raw_simhash", "n_tokens")
+
+
+SQL_STREAMING_DEDUP = f"""
+WITH p AS (SELECT * FROM {_mat('stream_pages')}),
+r AS (
+  SELECT url, urim, urit, raw_simhash, n_tokens,
+         row_number() OVER (PARTITION BY url, raw_simhash
+                            ORDER BY warc_ts, urim) AS rn
+  FROM p
+)
+SELECT url, urim, urit, raw_simhash, n_tokens FROM r WHERE rn = 1"""
+
+
+# ----------------------------------------------------- minhash_lsh_pairs
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.lsh import candidate_pairs_from_buckets, minhash_band_table
+    from .operators.timeline import prepare_pages
+
+    docs = prepare_pages(_pages(spark, sf_dir),
+                         need_raw_simhash=False, need_tf_simhash=False)
+    bands = minhash_band_table(docs, id_col="urim", tokens_col="tokens")
+    bands = _materialize(bands, "minhash_bands")
+    return candidate_pairs_from_buckets(bands, max_bucket_size=64)
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH b AS (SELECT id, band, band_hash FROM {_mat('minhash_bands')}),
+ok AS (
+  SELECT band, band_hash FROM b
+  GROUP BY band, band_hash HAVING count(*) BETWEEN 2 AND 64
+)
+SELECT DISTINCT least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b
+FROM b x
+JOIN b y ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id
+JOIN ok o ON x.band = o.band AND x.band_hash = o.band_hash"""
+
+
+# --------------------------------------------------- simhash_hamming_pairs
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.lsh import simhash_candidate_pairs
+    from .operators.timeline import prepare_pages
+
+    docs = prepare_pages(_pages(spark, sf_dir), need_tf_simhash=False)
+    vals = docs.select(F.col("urim").alias("id"),
+                       F.col("raw_simhash").alias("simhash"))
+    vals = _materialize(vals, "simhash_values")
+    return simhash_candidate_pairs(vals, id_col="id", simhash_col="simhash",
+                                   max_hamming=3)
+
+
+# (simhash >> k*16) & 65535 equals Spark's shiftrightunsigned+mask for every
+# chunk because the mask keeps only the 16 shifted-down bits (verified for
+# negative two's-complement values in both engines).
+SQL_SIMHASH_PAIRS = f"""
+WITH s AS (SELECT id, simhash FROM {_mat('simhash_values')}
+           WHERE simhash IS NOT NULL),
+ch AS (
+  SELECT id, simhash, c.chunk AS chunk,
+         (simhash >> (c.chunk * 16)) & 65535 AS cv
+  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) c
+),
+ok AS (
+  SELECT chunk, cv FROM ch GROUP BY chunk, cv
+  HAVING count(*) BETWEEN 2 AND 64
+)
+SELECT DISTINCT least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b
+FROM ch x
+JOIN ch y ON x.chunk = y.chunk AND x.cv = y.cv AND x.id < y.id
+JOIN ok o ON x.chunk = o.chunk AND x.cv = o.cv
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3"""
+
+
+# --------------------------------------------------------- ann_lsh_topk
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import lsh_cosine_topk, make_srp_signature_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srp = make_srp_signature_udf(dim=64, n_planes=6)
+    _materialize(
+        emb.select("vec_id", srp(F.col("embedding")).alias("bucket")),
+        "srp_buckets",
+    )
+    result = lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
+                             k=5, dim=64, n_planes=6)
+    return result.withColumn("cosine", F.round("cosine", 6))
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH bkt AS (SELECT vec_id, bucket FROM {_mat('srp_buckets')}),
+c AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS cv,
+         b.bucket AS bucket
+  FROM embeddings e JOIN bkt b ON e.vec_id = b.vec_id
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv,
+         b.bucket AS bucket
+  FROM embeddings e JOIN bkt b ON e.vec_id = b.vec_id
+  WHERE e.vec_id < 10
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+  FROM c JOIN q ON c.bucket = q.bucket
+),
+ranked AS (
+  SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+
+# ------------------------------------------------------ dedup_clusters_cc
+
+def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scale-dedup pipeline; when materializing, runs through a fresh
+    CheckpointStore so the docs/verified_edges stage tables double as the
+    oracle's inputs (and the resume layer is exercised in the battery)."""
+    from .plans.pipeline import dedup_pipeline
+
+    pages = _pages(spark, sf_dir)
+    if not materialization_enabled():
+        return dedup_pipeline(pages)
+    import shutil
+
+    from .plans.checkpoints import CheckpointStore
+
+    root = f"{MAT_ROOT}/dedup_cc"
+    shutil.rmtree(root, ignore_errors=True)
+    store = CheckpointStore(spark, root, run_id="oracle")
+    return dedup_pipeline(pages, store=store)
+
+
+# Connected components as a transitive-closure recursive CTE: each node's
+# label = min(reachable nodes ∪ {self}); singletons label themselves.
+# Independent of (and quadratic-unlike) the large-star/small-star Spark path —
+# exactly what an oracle should be.
+SQL_DEDUP_CC = f"""
+WITH RECURSIVE
+d AS (SELECT nid, urim FROM {_mat('dedup_cc/docs')}),
+e0 AS (SELECT id_a, id_b FROM {_mat('dedup_cc/verified_edges')}
+       WHERE id_a <> id_b),
+sym AS (SELECT id_a AS src, id_b AS dst FROM e0
+        UNION SELECT id_b, id_a FROM e0),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (SELECT src, least(min(dst), src) AS component FROM reach GROUP BY src)
+SELECT d.urim AS urim, coalesce(c.component, d.nid) AS component
+FROM d LEFT JOIN comp c ON d.nid = c.src"""
+
+
+# -------------------------------------------------------- curation_story
+
+def q_curation_story(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.measures import memento_metadata
+    from .plans.pipeline import story_pipeline
+
+    meta = memento_metadata(_pages(spark, sf_dir))
+    meta = _materialize(
+        meta.select("urit", "urim", "simhash", "content_length", "language",
+                    "memento_datetime"),
+        "curation_meta",
+    )
+    story = story_pipeline(meta)
+    return story.select("urit", "urim", "slice_id", "cluster_id",
+                        F.round("quality", 6).alias("quality"))
+
+
+# D1-D5 window arithmetic re-derived in SQL (bin/exclude_duplicates:67-106,
+# bin/slice_by_datetime:60-116, bin/cluster_by_simhash:72-95,
+# bin/select_high_quality:44-175 quirks preserved).  Host extraction mirrors
+# java.net.URI: no '<scheme>://' prefix → no authority → host NULL (the
+# 'from-warc::' urims), so category_score is the reference's -1 branch.
+SQL_CURATION_STORY = f"""
+WITH m AS (SELECT urit, urim, simhash, memento_datetime
+           FROM {_mat('curation_meta')}),
+firstseen AS (
+  SELECT urit, urim, simhash, memento_datetime FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY urit, simhash
+                                   ORDER BY memento_datetime, urim) AS occ
+    FROM m
+  ) _f WHERE occ = 1
+),
+lagged AS (
+  SELECT urit, urim, simhash, memento_datetime,
+         coalesce(lag(simhash) OVER (PARTITION BY urit
+                                     ORDER BY memento_datetime, urim),
+                  0) AS prev
+  FROM firstseen
+),
+nondup AS (
+  SELECT urit, urim, simhash, memento_datetime FROM lagged
+  WHERE bit_count(xor(simhash, prev)) / 64.0 > 0.2
+),
+ordered AS (
+  SELECT *, row_number() OVER (ORDER BY memento_datetime, urim) - 1 AS i,
+         count(*) OVER () AS n
+  FROM nondup
+),
+params AS (
+  SELECT *, cast(floor(n / (CASE WHEN n > 28 THEN floor(28 + log10(n))
+                                 ELSE n END)) AS bigint) AS ips
+  FROM ordered
+),
+sliced AS (
+  SELECT urit, urim, simhash, i,
+         CASE WHEN i = 0 THEN 0
+              ELSE cast(ceil(cast(i AS double) / ips) AS bigint) END AS slice_id
+  FROM params
+  WHERE i = 0 OR cast(ceil(cast(i AS double) / ips) AS bigint) * ips <= n - 1
+),
+grp AS (
+  SELECT slice_id, simhash, count(*) AS gsize, min(i) AS first_pos
+  FROM sliced GROUP BY slice_id, simhash
+),
+labels AS (
+  SELECT slice_id, simhash,
+         row_number() OVER (PARTITION BY slice_id ORDER BY first_pos) - 1
+           AS cluster_id
+  FROM grp WHERE gsize >= 2
+),
+clustered AS (
+  SELECT s.urit AS urit, s.urim AS urim, s.slice_id AS slice_id,
+         coalesce(l.cluster_id, -1) AS cluster_id
+  FROM sliced s LEFT JOIN labels l
+    ON s.slice_id = l.slice_id AND s.simhash = l.simhash
+),
+scored AS (
+  SELECT urit, urim, slice_id, cluster_id,
+         0.15 * (CASE WHEN regexp_matches(urim, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
+                      THEN 0.0 ELSE -1.0 END)
+         + 0.45 * ((len(string_split(
+               substring(urim, 8, greatest(length(urim) - 8, 0)), '/')) - 1)
+             / 10.0) AS quality
+  FROM clustered
+)
+SELECT urit, urim, slice_id, cluster_id, round(quality, 6) AS quality FROM (
+  SELECT *, row_number() OVER (PARTITION BY slice_id, cluster_id
+                               ORDER BY quality DESC, urim DESC) AS rn
+  FROM scored
+) _r WHERE rn = 1"""
+
+
+# ------------------------------------------------- offtopic_measures_core
+
+CORE_MEASURES = ("bytecount", "wordcount", "jaccard", "sorensen",
+                 "tfintersection", "raw_simhash", "tf_simhash", "cosine")
+
+
+def q_offtopic_measures_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8 SQL-verifiable measures of the suite (levenshtein/nlevenshtein
+    and the iterative gensim kernels stay rows-only in the full query) —
+    including the K10 TF-IDF cosine end-to-end against a plain-SQL rendition
+    of sklearn's smoothed-idf + l2-norm formula."""
+    from .functions.udfs import tokenize_lower_udf
+    from .operators.measures import score_timemap_measures
+    from .operators.timeline import prepare_pages
+
+    pages = _pages(spark, sf_dir)
+    enriched = prepare_pages(pages)
+    _materialize(
+        enriched.select(
+            "urit", "urim", "warc_ts", "raw_len", "tokens", "n_tokens",
+            "raw_simhash", "tf_simhash",
+            tokenize_lower_udf(F.col("text")).alias("tokens_cos"),
+        ),
+        "measure_inputs",
+    )
+    scores = score_timemap_measures(pages, measures=CORE_MEASURES)
+    return scores.select(
+        "urit", "urim", "measure",
+        F.round("comparison_score", 6).alias("comparison_score"),
+        "topic_status",
+    )
+
+
+def _sql_measures_core() -> str:
+    # thresholds/directions mirror MEASURE_REGISTRY
+    # (otmt/timemap_measures.py:895-970)
+    pairwise = [
+        ("bytecount", "j.raw_len / j.f_raw_len - 1.0", "< -0.43"),
+        ("wordcount", "j.n_tokens / j.f_n_tokens - 1.0", "< -0.70"),
+        ("jaccard",
+         "1.0 - len(list_intersect(list_distinct(j.tokens),"
+         " list_distinct(j.f_tokens)))"
+         " / len(list_distinct(list_cat(j.tokens, j.f_tokens)))",
+         "> 0.96"),
+        ("sorensen",
+         "1.0 - (2.0 * len(list_intersect(list_distinct(j.tokens),"
+         " list_distinct(j.f_tokens))))"
+         " / (len(list_distinct(j.tokens)) + len(list_distinct(j.f_tokens)))",
+         "> 0.93"),
+        ("raw_simhash",
+         "cast(bit_count(xor(j.f_raw_simhash, j.raw_simhash)) AS double)",
+         "> 38.0"),
+        ("tf_simhash",
+         "cast(bit_count(xor(j.f_tf_simhash, j.tf_simhash)) AS double)",
+         "> 34.0"),
+    ]
+    arms = []
+    for name, expr, rule in pairwise:
+        arms.append(f"""
+SELECT j.urit AS urit, j.urim AS urim, '{name}' AS measure,
+       round({expr}, 6) AS comparison_score,
+       CASE WHEN ({expr}) {rule} THEN 'off-topic' ELSE 'on-topic' END
+         AS topic_status
+FROM j""")
+    arms.append("""
+SELECT urit, urim, 'tfintersection' AS measure,
+       round(cast(tfi AS double), 6) AS comparison_score,
+       CASE WHEN tfi > 0.0 THEN 'off-topic' ELSE 'on-topic' END
+         AS topic_status
+FROM tfint""")
+    arms.append("""
+SELECT urit, urim, 'cosine' AS measure,
+       round(score, 6) AS comparison_score,
+       CASE WHEN score < 0.12 THEN 'off-topic' ELSE 'on-topic' END
+         AS topic_status
+FROM cosfinal""")
+    union = "\nUNION ALL".join(arms)
+    return f"""
+WITH mi AS (SELECT * FROM {_mat('measure_inputs')}),
+firsts AS (
+  SELECT urit, urim AS f_urim, raw_len AS f_raw_len, tokens AS f_tokens,
+         n_tokens AS f_n_tokens, raw_simhash AS f_raw_simhash,
+         tf_simhash AS f_tf_simhash
+  FROM (SELECT *, row_number() OVER (PARTITION BY urit
+                                     ORDER BY warc_ts, urim) AS rn FROM mi)
+  WHERE rn = 1
+),
+j AS (
+  SELECT mi.urit AS urit, mi.urim AS urim, mi.raw_len AS raw_len,
+         mi.tokens AS tokens, mi.n_tokens AS n_tokens,
+         mi.raw_simhash AS raw_simhash, mi.tf_simhash AS tf_simhash,
+         f.f_urim, f.f_raw_len, f.f_tokens, f.f_n_tokens,
+         f.f_raw_simhash, f.f_tf_simhash
+  FROM mi JOIN firsts f ON mi.urit = f.urit
+),
+tf AS (
+  SELECT mi.urim AS urim, t.token AS token, count(*) AS cnt
+  FROM mi, unnest(mi.tokens) AS t(token)
+  GROUP BY mi.urim, t.token
+),
+top20 AS (
+  SELECT urim, token FROM (
+    SELECT urim, token,
+           row_number() OVER (PARTITION BY urim
+                              ORDER BY cnt DESC, token DESC) AS rnk
+    FROM tf
+  ) _t WHERE rnk <= 20
+),
+tfint AS (
+  SELECT j.urit AS urit, j.urim AS urim, count(b.token) AS tfi
+  FROM j
+  JOIN top20 a ON a.urim = j.f_urim
+  LEFT JOIN top20 b ON b.urim = j.urim AND b.token = a.token
+  GROUP BY j.urit, j.urim
+),
+n_t AS (SELECT urit, count(*) AS n FROM mi GROUP BY urit),
+ctf AS (
+  SELECT mi.urit AS urit, mi.urim AS urim, t.token AS token, count(*) AS cnt
+  FROM mi, unnest(mi.tokens_cos) AS t(token)
+  GROUP BY mi.urit, mi.urim, t.token
+),
+cdf AS (
+  SELECT urit, token, count(DISTINCT urim) AS df FROM ctf GROUP BY urit, token
+),
+w AS (
+  SELECT c.urit AS urit, c.urim AS urim, c.token AS token,
+         c.cnt * (ln((1.0 + n.n) / (1.0 + d.df)) + 1.0) AS w
+  FROM ctf c
+  JOIN cdf d ON c.urit = d.urit AND c.token = d.token
+  JOIN n_t n ON c.urit = n.urit
+),
+norms AS (SELECT urit, urim, sqrt(sum(w * w)) AS nrm FROM w GROUP BY urit, urim),
+cosraw AS (
+  SELECT a.urit AS urit, a.urim AS urim, sum(a.w * b.w) AS dot
+  FROM w a
+  JOIN firsts f ON a.urit = f.urit
+  LEFT JOIN w b ON b.urit = a.urit AND b.urim = f.f_urim AND b.token = a.token
+  GROUP BY a.urit, a.urim
+),
+cosfinal AS (
+  SELECT m.urit AS urit, m.urim AS urim,
+         coalesce(c.dot, 0.0) /
+         ((CASE WHEN coalesce(na.nrm, 0) = 0 THEN 1.0 ELSE na.nrm END) *
+          (CASE WHEN coalesce(nf.nrm, 0) = 0 THEN 1.0 ELSE nf.nrm END))
+           AS score
+  FROM (SELECT urit, urim FROM mi) m
+  JOIN firsts f ON m.urit = f.urit
+  LEFT JOIN cosraw c ON c.urit = m.urit AND c.urim = m.urim
+  LEFT JOIN norms na ON na.urit = m.urit AND na.urim = m.urim
+  LEFT JOIN norms nf ON nf.urit = m.urit AND nf.urim = f.f_urim
+)
+{union}"""
+
+
+SQL_MEASURES_CORE = _sql_measures_core()
+
+
+# ---------------------------------------------------------------- registry
+
+def mat_queries() -> dict:
+    return {
+        "streaming_dedup_batch": q_streaming_dedup_batch,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_clusters_cc": q_dedup_clusters_cc,
+        "curation_story": q_curation_story,
+        "offtopic_measures_core": q_offtopic_measures_core,
+    }
+
+
+def mat_oracle_sql() -> dict:
+    return {
+        "streaming_dedup_batch": SQL_STREAMING_DEDUP,
+        "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
+        "simhash_hamming_pairs": SQL_SIMHASH_PAIRS,
+        "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "dedup_clusters_cc": SQL_DEDUP_CC,
+        "curation_story": SQL_CURATION_STORY,
+        "offtopic_measures_core": SQL_MEASURES_CORE,
+    }
