@@ -325,6 +325,78 @@ def overall_status(scores: DataFrame) -> DataFrame:
     )
 
 
+def with_error_kinds(
+    scores: DataFrame,
+    memento_access: DataFrame | None = None,
+    timemap_access: DataFrame | None = None,
+) -> DataFrame:
+    """Adds the reference's three-way ``error_kind`` taxonomy to the long
+    scores frame (otmt/measuremodel.py:247-336), enforcing its exclusivity
+    rules:
+
+    - rows whose ``error_msg`` came from measurement are kind "measurement";
+    - a memento access error (``memento_access``: urim, error_msg) REPLACES
+      any measurement error for that memento (measuremodel.py:278-280)
+      and clears any timemap access error for its timemap (:286-289);
+    - a timemap access error (``timemap_access``: urit, error_msg) applies to
+      every memento of that timemap unless a memento-level access error
+      exists there (measuremodel.py:315-336).
+    """
+    from pyspark.sql import Window
+
+    from .measures_constants import (
+        ERROR_KIND_MEASUREMENT,
+        ERROR_KIND_MEMENTO_ACCESS,
+        ERROR_KIND_TIMEMAP_ACCESS,
+    )
+
+    df = scores.withColumn(
+        "error_kind",
+        F.when(F.col("error_msg").isNotNull(), F.lit(ERROR_KIND_MEASUREMENT)),
+    )
+    if memento_access is not None:
+        ma = memento_access.select(
+            "urim", F.col("error_msg").alias("_ma_msg")).distinct()
+        df = (
+            df.join(F.broadcast(ma), "urim", "left")
+            .withColumn(
+                "error_kind",
+                F.when(F.col("_ma_msg").isNotNull(),
+                       F.lit(ERROR_KIND_MEMENTO_ACCESS))
+                .otherwise(F.col("error_kind")))
+            .withColumn(
+                "error_msg",
+                F.when(F.col("_ma_msg").isNotNull(), F.col("_ma_msg"))
+                .otherwise(F.col("error_msg")))
+            .drop("_ma_msg")
+        )
+    if timemap_access is not None:
+        ta = timemap_access.select(
+            "urit", F.col("error_msg").alias("_ta_msg")).distinct()
+        df = df.join(F.broadcast(ta), "urit", "left")
+        # a memento access error anywhere in the timemap clears its
+        # timemap-level error (reference exclusivity)
+        urit_window = Window.partitionBy("urit")
+        has_memento_err = (
+            F.max(
+                F.when(F.col("error_kind") == ERROR_KIND_MEMENTO_ACCESS, 1)
+                .otherwise(0)
+            ).over(urit_window) == 1
+        )
+        applies = F.col("_ta_msg").isNotNull() & ~has_memento_err
+        df = (
+            df.withColumn(
+                "error_kind",
+                F.when(applies, F.lit(ERROR_KIND_TIMEMAP_ACCESS))
+                .otherwise(F.col("error_kind")))
+            .withColumn(
+                "error_msg",
+                F.when(applies, F.col("_ta_msg")).otherwise(F.col("error_msg")))
+            .drop("_ta_msg")
+        )
+    return df
+
+
 def memento_metadata(pages: DataFrame) -> DataFrame:
     """Per-memento metadata table (otmt/metadata_calcluations.py): raw simhash
     value, content length, language passthrough, memento datetime."""

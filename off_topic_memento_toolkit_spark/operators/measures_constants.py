@@ -12,6 +12,18 @@ FIRST_EMPTY_MSG = (
     "cannot effectively compare memento content"
 )
 
+# otmt/measuremodel.py:247-336 — three mutually exclusive error classes;
+# CSV labels from measuremodel.py:681-717
+ERROR_KIND_MEASUREMENT = "measurement"
+ERROR_KIND_MEMENTO_ACCESS = "memento access"
+ERROR_KIND_TIMEMAP_ACCESS = "timemap access"
+
+CSV_ERROR_LABELS = {
+    ERROR_KIND_TIMEMAP_ACCESS: "TimeMap Access Error",
+    ERROR_KIND_MEMENTO_ACCESS: "Memento Access Error",
+    ERROR_KIND_MEASUREMENT: "Memento Measurement Error",
+}
+
 GROUP_SCORES_SCHEMA = T.StructType([
     T.StructField("urit", T.StringType()),
     T.StructField("urim", T.StringType()),

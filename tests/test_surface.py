@@ -80,6 +80,105 @@ def test_json_and_csv_sinks(spark, drift_pages, tmp_path):
                for line in lines[1:])
 
 
+def test_error_kind_taxonomy_and_sinks(spark, drift_pages, tmp_path):
+    """Reference exclusivity (otmt/measuremodel.py:247-336): memento access
+    error replaces measurement errors for that memento AND clears the
+    timemap-level error; CSV surfaces the three labels mutually exclusively
+    (measuremodel.py:681-717); JSON collapses to 'access error' entries."""
+    import csv as csvmod
+    import glob
+
+    from off_topic_memento_toolkit_spark.operators.measures import (
+        with_error_kinds,
+    )
+    from off_topic_memento_toolkit_spark.sources.sinks import (
+        save_as_csv,
+        save_as_csv_distributed,
+        save_as_json,
+    )
+
+    scores = score_timemap_measures(drift_pages,
+                                    measures=("wordcount", "jaccard"))
+    urits = sorted(r.urit for r in scores.select("urit").distinct().collect())
+    urims = {
+        u.urit: sorted(r.urim for r in
+                       scores.filter(F.col("urit") == u.urit)
+                       .select("urim").distinct().collect())
+        for u in scores.select("urit").distinct().collect()
+    }
+    bad_urit = urits[0]
+    bad_urim = urims[bad_urit][0]          # memento error inside bad_urit
+    ta_urit = urits[1] if len(urits) > 1 else urits[0]
+
+    memento_access = spark.createDataFrame(
+        [(bad_urim, "Errors were recorded while attempting to access URI-M")],
+        "urim string, error_msg string")
+    timemap_access = spark.createDataFrame(
+        [(bad_urit, "cleared by the memento error"),
+         (ta_urit, "404 Client Error on URI-T")],
+        "urit string, error_msg string")
+
+    kinds = with_error_kinds(scores, memento_access, timemap_access)
+    got = {(r.urit, r.urim, r.measure): r for r in kinds.collect()}
+
+    # memento access replaces measurement AND clears the timemap error
+    for measure in ("wordcount", "jaccard"):
+        row = got[(bad_urit, bad_urim, measure)]
+        assert row.error_kind == "memento access"
+        assert row.error_msg.startswith("Errors were recorded")
+    other = urims[bad_urit][1]
+    assert got[(bad_urit, other, "wordcount")].error_kind is None
+    # the second timemap (no memento error) keeps its access error everywhere
+    if ta_urit != bad_urit:
+        for urim in urims[ta_urit]:
+            assert got[(ta_urit, urim, "jaccard")].error_kind == "timemap access"
+
+    overall = overall_status(scores)
+    meta = memento_metadata(drift_pages)
+
+    csv_path = str(tmp_path / "kinds.csv")
+    save_as_csv(kinds, overall, csv_path, meta=meta)
+    with open(csv_path) as fh:
+        records = list(csvmod.DictReader(fh))
+    tm_rows = [r for r in records if r["Error"] == "TimeMap Access Error"]
+    ma_rows = [r for r in records if r["Error"] == "Memento Access Error"]
+    assert len(tm_rows) == 1 and tm_rows[0]["URI-T"] == ta_urit
+    assert tm_rows[0]["URI-M"] == ""           # timemap row has no URI-M
+    assert len(ma_rows) == 1 and ma_rows[0]["URI-M"] == bad_urim
+    # no measurement/score fields on access-error rows
+    assert ma_rows[0]["Measurement Name"] == ""
+    # clean rows carry type/name/score
+    clean = [r for r in records if r["Error"] == ""]
+    assert clean and all(r["Measurement Name"] in ("wordcount", "jaccard")
+                         for r in clean)
+
+    # distributed variant: same records (semantically) without driver collect
+    dist_path = str(tmp_path / "kinds_dist")
+    save_as_csv_distributed(kinds, overall, dist_path, meta=meta)
+    dist_records = []
+    for part in glob.glob(f"{dist_path}/*.csv"):
+        with open(part) as fh:
+            dist_records.extend(csvmod.DictReader(fh))
+
+    def canon(rec):
+        score = rec["Comparison Score"]
+        return (rec["URI-T"], rec["URI-M"], rec["Error"], rec["Error Message"],
+                rec["Measurement Name"], rec["Topic Status"],
+                round(float(score), 9) if score else None)
+
+    assert sorted(map(canon, dist_records)) == sorted(map(canon, records))
+
+    # JSON: access-error collapse + 'measurement error' key name
+    json_path = str(tmp_path / "kinds.json")
+    save_as_json(kinds, overall, json_path, meta=meta)
+    with open(json_path) as fh:
+        data = json.load(fh)
+    assert data[ta_urit] == {"access error": "404 Client Error on URI-T"}
+    assert data[bad_urit][bad_urim] == {
+        "access error":
+            "Errors were recorded while attempting to access URI-M"}
+
+
 def test_checkpoint_resume(spark, tmp_path):
     """North-rule resume: kill-after-stage then relaunch must reuse committed
     stages and produce identical clusters."""
