@@ -23,7 +23,7 @@ from .minhash import (
     band_hashes,
     minhash_signature,
 )
-from .seqdist import levenshtein as _levenshtein
+from .seqdist import levenshtein_np as _levenshtein
 from .simhash64 import (
     simhash_raw_bytes,
     simhash_tokens,

@@ -83,17 +83,33 @@ def connected_components(
     current = current.localCheckpoint()
     previous_sig = _checksum(current)
 
-    for iteration in range(max_iterations):
-        stepped = _small_star(_large_star(current))
-        if checkpoint_dir_writer is not None:
-            stepped = checkpoint_dir_writer(stepped, iteration)
-        else:
-            stepped = stepped.localCheckpoint()
-        signature = _checksum(stepped)
-        current = stepped
-        if signature == previous_sig:
-            break
-        previous_sig = signature
+    # size the loop's shuffles from the ACTUAL edge count (known from the
+    # convergence checksum): each iteration is ~6 shuffle stages, and a
+    # 10^2-edge graph on a 10^3-partition conf would spend the whole loop
+    # scheduling empty tasks, while a 10^12-edge graph needs every partition.
+    # 16-byte pairs → ~1M edges per partition ≈ 16 MB shuffle blocks.
+    spark = edges.sparkSession
+    conf_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_partitions = max(1, min(int(conf_shuffle),
+                                 previous_sig[0] // 1_000_000 + 1))
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+        for iteration in range(max_iterations):
+            stepped = _small_star(_large_star(current))
+            if checkpoint_dir_writer is not None:
+                stepped = checkpoint_dir_writer(stepped, iteration)
+            else:
+                # lazy: the convergence checksum right below materializes the
+                # checkpoint — one job per iteration instead of two
+                stepped = stepped.localCheckpoint(eager=False)
+            signature = _checksum(stepped)
+            current = stepped
+            if signature == previous_sig:
+                break
+            previous_sig = signature
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", conf_shuffle)
 
     und = _symmetric(current)
     labels = und.groupBy("src").agg(

@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.textprep import full_tokenize
 from .measures_constants import (
     FIRST_BP_ERROR_MSG,
     FIRST_EMPTY_MSG,
@@ -128,37 +127,50 @@ def _lda_similarity(token_lists, num_topics, seed=42, iterations=50):
     return unit @ unit[0]
 
 
-def make_group_kernel(measures, num_topics_overrides=None, max_docs_per_timeline=None):
+# past the cap, mementos get an error row instead of a silently-wrong fit
+CAP_ERROR_MSG = ("Timeline exceeds the per-timeline document cap for whole-"
+                 "timeline measures; memento excluded from the fit")
+
+# groups beyond this buffer nothing more into the pandas kernel — a viral
+# host's 10^6-memento timeline would otherwise OOM one executor task
+DEFAULT_MAX_DOCS_PER_TIMELINE = 20_000
+
+
+def make_group_kernel(measures, num_topics_overrides=None,
+                      max_docs_per_timeline=DEFAULT_MAX_DOCS_PER_TIMELINE):
     measures = list(measures)
     overrides = num_topics_overrides or {}
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["warc_ts", "urim"], kind="mergesort")
         urit = pdf["urit"].iloc[0]
+        text_len = pdf["text_len"]
         out = []
         for measure in measures:
-            texts = pdf["text"]
             urims = pdf["urim"].tolist()
-            first_text = texts.iloc[0]
-            if first_text is None:
+            first_len = text_len.iloc[0]
+            if pd.isna(first_len):
                 out.append(_rows(urit, urims, measure, error=FIRST_BP_ERROR_MSG))
                 continue
-            if len(first_text) == 0:
+            if first_len == 0:
                 out.append(_rows(urit, urims, measure, error=FIRST_EMPTY_MSG))
                 continue
 
-            ok_mask = texts.notna()
+            ok_mask = text_len.notna()
+            capped_mask = ok_mask & False
             if max_docs_per_timeline and ok_mask.sum() > max_docs_per_timeline:
-                keep = texts.notna().cumsum() <= max_docs_per_timeline
+                keep = ok_mask.cumsum() <= max_docs_per_timeline
+                capped_mask = ok_mask & ~keep
                 ok_mask &= keep
             ok_urims = pdf.loc[ok_mask, "urim"].tolist()
-            bad_urims = pdf.loc[~ok_mask, "urim"].tolist()
+            bad_urims = pdf.loc[~(ok_mask | capped_mask), "urim"].tolist()
+            capped_urims = pdf.loc[capped_mask, "urim"].tolist()
 
-            if measure == "cosine":
-                # TfidfVectorizer lowercases before tokenizing
-                docs = [full_tokenize(t.lower()) for t in texts[ok_mask]]
-            else:
-                docs = [full_tokenize(t) for t in texts[ok_mask]]
+            # tokens were computed ONCE upstream (prepare_pages /
+            # tokenize_lower_udf) — the kernel consumes arrays, it never
+            # re-runs treebank+porter (the reference's 12x-reprocess bug)
+            column = "tokens_cos" if measure == "cosine" else "tokens"
+            docs = [list(v) for v in pdf.loc[ok_mask, column]]
 
             try:
                 if measure == "cosine":
@@ -179,6 +191,9 @@ def make_group_kernel(measures, num_topics_overrides=None, max_docs_per_timeline
                     urit, bad_urims, measure,
                     error="Boilerplate could not be removed from memento",
                 ))
+            if capped_urims:
+                out.append(_rows(urit, capped_urims, measure,
+                                 error=CAP_ERROR_MSG))
         return pd.concat(out, ignore_index=True) if out else _rows(urit, [], "cosine")
 
     return kernel
@@ -188,12 +203,29 @@ def score_group_measures(
     enriched: DataFrame,
     measures,
     num_topics_overrides=None,
-    max_docs_per_timeline=None,
+    max_docs_per_timeline=DEFAULT_MAX_DOCS_PER_TIMELINE,
 ) -> DataFrame:
-    """Run the grouped kernels; input must carry urit, urim, warc_ts, text."""
-    kernel = make_group_kernel(measures, num_topics_overrides, max_docs_per_timeline)
+    """Run the grouped kernels; input must carry urit, urim, warc_ts, text
+    and tokens (LSI/LDA consume the shared ``tokens`` column; cosine gets a
+    ``tokens_cos`` column — sklearn lowercases before tokenizing, so its
+    token stream genuinely differs)."""
+    measures = list(measures)
+    kernel = make_group_kernel(measures, num_topics_overrides,
+                               max_docs_per_timeline)
+    cols = [F.col("urit"), F.col("urim"), F.col("warc_ts"),
+            F.length("text").alias("text_len")]
+    if any(m != "cosine" for m in measures):
+        cols.append(F.col("tokens"))
+    else:
+        cols.append(F.lit(None).cast("array<string>").alias("tokens"))
+    if "cosine" in measures:
+        from ..functions.udfs import tokenize_lower_udf
+
+        cols.append(tokenize_lower_udf(F.col("text")).alias("tokens_cos"))
+    else:
+        cols.append(F.lit(None).cast("array<string>").alias("tokens_cos"))
     return (
-        enriched.select("urit", "urim", "warc_ts", "text")
+        enriched.select(*cols)
         .groupBy("urit")
         .applyInPandas(kernel, schema=_SCHEMA)
     )

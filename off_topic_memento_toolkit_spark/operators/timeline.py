@@ -68,6 +68,22 @@ def prepare_pages(
     """
     df = with_memento_identity(pages)
 
+    # Python enrichment cost tracks ROWS, not bytes: a narrow parquet scan
+    # (one small file → one partition) would serialize every UDF on one core.
+    # When the scan is narrower than the shuffle width, widen it ROUND-ROBIN
+    # before the UDFs: (a) hash-by-urit would put a viral host's whole
+    # timeline on one core exactly where the work is heaviest, and (b)
+    # ArrowEvalPython does not propagate outputPartitioning in Spark 4, so a
+    # keyed pre-shuffle could never be reused by the measure window anyway —
+    # the window's own exchange then moves enriched columns as usual.
+    # Already-wide inputs (a real cluster scan of 100 TB) skip this entirely,
+    # keeping the measure suite at exactly one shuffle; streams can't
+    # repartition mid-plan.
+    if not df.isStreaming:
+        shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if df.rdd.getNumPartitions() < shuffle_n:
+            df = df.repartition(shuffle_n)
+
     if recompute_text or "text" not in df.columns:
         df = df.withColumn("text", extract_text_udf(F.col("html")))
     else:

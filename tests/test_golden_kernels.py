@@ -104,3 +104,25 @@ def test_empty_document_raises():
 
 def test_empty_body_empty_text():
     assert extract_text(b"<html><body></body></html>") == ""
+
+
+def test_levenshtein_np_matches_reference_dp():
+    """The vectorized scan must equal the classic DP on random token seqs
+    (hypothesis-style sweep incl. empty/equal/disjoint edges)."""
+    import random
+
+    from off_topic_memento_toolkit_spark.functions.seqdist import (
+        levenshtein,
+        levenshtein_np,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"tok{i}" for i in range(30)]
+    for _ in range(500):
+        a = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+        b = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+        assert levenshtein_np(a, b) == levenshtein(a, b), (a, b)
+    assert levenshtein_np([], []) == 0
+    assert levenshtein_np(["a"], []) == 1
+    assert levenshtein_np([], ["a", "b"]) == 2
+    assert levenshtein_np(["a", "b"], ["a", "b"]) == 0

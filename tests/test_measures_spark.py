@@ -136,3 +136,42 @@ def test_error_semantics(spark):
                     key=lambda r: r.urim)
     assert b_rows[0].error_msg is None and b_rows[0].comparison_score == 0.0
     assert b_rows[1].error_msg is not None
+
+
+def test_group_kernel_timeline_cap(spark):
+    """Skew guardrail: docs past max_docs_per_timeline get an explicit error
+    row (never a silently-wrong fit), the fit uses only the kept prefix."""
+    from off_topic_memento_toolkit_spark.operators.groupkernels import (
+        CAP_ERROR_MSG,
+        score_group_measures,
+    )
+    from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
+    from off_topic_memento_toolkit_spark.sources.datagen import (
+        PAGES_SCHEMA,
+        generate_pages,
+    )
+
+    pages = generate_pages(spark, n_urls=2, mementos_per_url=6, skew=False,
+                           error_rows=False)
+    enriched = prepare_pages(pages, need_raw_simhash=False,
+                             need_tf_simhash=False)
+    scores = score_group_measures(enriched, ["cosine"],
+                                  max_docs_per_timeline=4).collect()
+    by_urit = {}
+    for r in scores:
+        by_urit.setdefault(r.urit, []).append(r)
+    # datagen prepends short golden-fixture timelines; assert on the two
+    # 6-memento generated ones, which exceed the cap of 4
+    capped_timelines = 0
+    for urit, rows in by_urit.items():
+        if len(rows) != 6:
+            assert all(r.error_msg != CAP_ERROR_MSG for r in rows)
+            continue
+        capped_timelines += 1
+        capped = [r for r in rows if r.error_msg == CAP_ERROR_MSG]
+        scored = [r for r in rows if r.error_msg is None]
+        assert len(capped) == 2 and len(scored) == 4, (urit, rows)
+        # kept prefix is the timeline's first 4 by (warc_ts, urim)
+        all_urims = sorted(r.urim for r in rows)
+        assert sorted(r.urim for r in scored) == all_urims[:4]
+    assert capped_timelines == 2

@@ -1,8 +1,12 @@
 """Physical-plan regression tests — the scale story is enforced, not hoped:
 
-- the whole pairwise measure suite compiles to exactly ONE exchange (hash on
-  urit) and one sort (the window's), with all text UDFs fused into a single
+- on an already-wide input (the 100 TB cluster-scan regime) the whole
+  pairwise measure suite compiles to exactly ONE exchange (hash on urit) and
+  one sort (the window's), with all text UDFs fused into a single
   ArrowEvalPython node;
+- on a narrow input (one small local file) prepare_pages widens the scan
+  round-robin BEFORE the Python UDFs, so enrichment parallelizes — that adds
+  exactly one round-robin exchange and nothing else;
 - the parquet scan prunes to the columns the query needs;
 - LSH candidate generation contains no join (collect+expand shape).
 """
@@ -28,17 +32,36 @@ def _executed_plan(df):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_measure_suite_single_exchange(spark):
-    pages = pages_from_documents(spark, SF_DIR)
-    scores = score_timemap_measures(
-        pages,
-        measures=("bytecount", "wordcount", "jaccard", "sorensen",
-                  "raw_simhash", "tf_simhash"),
-    )
-    plan = _executed_plan(scores)
+def _wide(spark, pages):
+    """Pre-widen the input so prepare_pages sees the cluster-scan regime."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return pages.repartition(n)
+
+
+MEASURES = ("bytecount", "wordcount", "jaccard", "sorensen",
+            "raw_simhash", "tf_simhash")
+
+
+def test_measure_suite_single_exchange_wide_input(spark):
+    pages = _wide(spark, pages_from_documents(spark, SF_DIR))
+    plan = _executed_plan(score_timemap_measures(pages, measures=MEASURES))
+    # wide regime: the window's hash shuffle is the ONLY keyed exchange
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert len(re.findall(r"ArrowEvalPython", plan)) == 1
     assert len(re.findall(r"\+- Sort ", plan)) == 1
+
+
+def test_measure_suite_narrow_input_parallelizes_udfs(spark):
+    pages = pages_from_documents(spark, SF_DIR)  # 1-partition parquet scan
+    plan = _executed_plan(score_timemap_measures(pages, measures=MEASURES))
+    # narrow regime: one extra ROUND-ROBIN widen below the UDFs, still one
+    # keyed exchange; the UDF node must sit ABOVE the round-robin exchange
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"Exchange RoundRobinPartitioning", plan)) == 1
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1
+    udf_pos = plan.index("ArrowEvalPython")
+    rr_pos = plan.index("Exchange RoundRobinPartitioning")
+    assert udf_pos < rr_pos  # executed-plan strings print consumers first
 
 
 def test_scan_prunes_columns(spark):
@@ -52,7 +75,7 @@ def test_scan_prunes_columns(spark):
 
 
 def test_lsh_candidates_no_join(spark):
-    pages = pages_from_documents(spark, SF_DIR)
+    pages = _wide(spark, pages_from_documents(spark, SF_DIR))
     from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
     docs = prepare_pages(pages, need_raw_simhash=False, need_tf_simhash=False)
     bands = minhash_band_table(docs, id_col="urim", tokens_col="tokens")
