@@ -113,6 +113,106 @@ def lsh_cosine_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
+    vec_col: str = "embedding", max_train: int = 16384, seed: int = 7,
+    iters: int = 10,
+):
+    """Deterministic k-means centroids from a bounded sample.
+
+    Scale shape: the TRAINING set is a capped sample collected once to the
+    driver (at 10^12 vectors you train on ~10^5-10^6 sampled rows — k-means
+    quality saturates long before that); assignment/search stay distributed.
+    Plain Lloyd iterations with seeded init; cosine geometry via l2-normalized
+    vectors so argmax-dot == argmax-cosine."""
+    sample = [list(r[0]) for r in
+              corpus.select(vec_col).limit(max_train).collect()]
+    X = np.asarray(sample, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    k = min(n_centroids, len(X))
+    rng = np.random.RandomState(seed)
+    centroids = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ centroids.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                mean = members.mean(axis=0)
+                n = np.linalg.norm(mean)
+                centroids[c] = mean / (n if n else 1.0)
+    return centroids
+
+
+def make_ivf_assign_udf(centroids):
+    """bucket = argmax cosine(v, centroid); vectorized, ties → lowest index."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def ivf_bucket(vecs: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if M.size == 0:
+            return pd.Series([], dtype="int32")
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((M / norms[:, None]) @ C.T, axis=1)
+                         .astype(np.int32))
+
+    return ivf_bucket
+
+
+def make_ivf_probe_udf(centroids, nprobe: int):
+    """Top-``nprobe`` nearest centroid ids per query vector (probe list)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    n = min(nprobe, len(C))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def ivf_probes(vecs: pd.Series) -> pd.Series:
+        def _p(v):
+            x = np.asarray(v, dtype=np.float64)
+            nx = np.linalg.norm(x)
+            scores = (x / (nx if nx else 1.0)) @ C.T
+            order = np.argsort(-scores, kind="stable")[:n]
+            return [int(i) for i in order]
+
+        return vecs.map(_p)
+
+    return ivf_probes
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame, queries: DataFrame, centroids, k: int = 5,
+    nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus rows live in their nearest-centroid bucket; each
+    query probes its ``nprobe`` nearest buckets and scores only those rows —
+    an equi-join on bucket id (the inverted-file lookup), never a cross
+    product.  Centroids come from :func:`train_ivf_centroids` and ride to
+    executors inside the UDF closures (broadcast by reference)."""
+    assign = make_ivf_assign_udf(centroids)
+    probes = make_ivf_probe_udf(centroids, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).withColumn("bucket", assign(F.col("_cvec")))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qvec"))
+        .withColumn("bucket", F.explode(probes(F.col("_qvec"))))
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine", cosine_similarity_col(F.col("_qvec"), F.col("_cvec"))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     n_planes: int = 12, id_col: str = "vec_id", vec_col: str = "embedding",

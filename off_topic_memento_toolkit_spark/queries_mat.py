@@ -190,6 +190,65 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
 
 
+# --------------------------------------------------------- ann_ivf_topk
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means buckets from a bounded driver-side
+    sample, nprobe-bucket search as an equi-join.  The bucket assignments and
+    probe lists are the materialized intermediates; ranking is relational."""
+    from .operators.ann import (
+        ivf_cosine_topk,
+        make_ivf_assign_udf,
+        make_ivf_probe_udf,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, n_centroids=16, dim=64)
+    if materialization_enabled():
+        assign = make_ivf_assign_udf(centroids)
+        probes = make_ivf_probe_udf(centroids, nprobe=2)
+        _materialize(
+            emb.select("vec_id", assign(F.col("embedding")).alias("bucket")),
+            "ivf_assignments",
+        )
+        _materialize(
+            emb.filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.explode(probes(F.col("embedding"))).alias("bucket")),
+            "ivf_probes",
+        )
+    result = ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
+                             centroids, k=5, nprobe=2)
+    return result.withColumn("cosine", F.round("cosine", 6))
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH a AS (SELECT vec_id, bucket FROM {_mat('ivf_assignments')}),
+p AS (SELECT query_id, bucket FROM {_mat('ivf_probes')}),
+c AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS cv,
+         a.bucket AS bucket
+  FROM embeddings e JOIN a ON e.vec_id = a.vec_id
+),
+q AS (
+  SELECT p.query_id AS query_id, e.embedding::DOUBLE[] AS qv,
+         p.bucket AS bucket
+  FROM embeddings e JOIN p ON e.vec_id = p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+  FROM c JOIN q ON c.bucket = q.bucket
+),
+ranked AS (
+  SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+
 # ------------------------------------------------------ dedup_clusters_cc
 
 def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,6 +548,7 @@ def mat_queries() -> dict:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "curation_story": q_curation_story,
         "offtopic_measures_core": q_offtopic_measures_core,
@@ -501,6 +561,7 @@ def mat_oracle_sql() -> dict:
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
         "simhash_hamming_pairs": SQL_SIMHASH_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         "dedup_clusters_cc": SQL_DEDUP_CC,
         "curation_story": SQL_CURATION_STORY,
         "offtopic_measures_core": SQL_MEASURES_CORE,

@@ -62,6 +62,66 @@ def write_signatures_stream(df: DataFrame, out_path: str,
     )
 
 
+DEDUP_OUT_SCHEMA = ("url string, warc_ts timestamp, urim string, "
+                    "raw_simhash long")
+DEDUP_STATE_SCHEMA = "prev long, seen array<long>"
+
+
+def streaming_sequential_dedup(
+    enriched: DataFrame,
+    threshold: float = 0.2,
+    state_cap: int = 4096,
+) -> DataFrame:
+    """Custom stateful operator: the reference's SEQUENTIAL D1 rule
+    (bin/exclude_duplicates:67-106) as ``applyInPandasWithState`` per url —
+    exact-simhash repeats are suppressed against an ever-growing seen-set,
+    and a row survives only when its Hamming distance to the PREVIOUS
+    first-seen simhash exceeds ``threshold`` (prev starts at 0 and updates on
+    every first-seen row, emitted or not — the reference quirk).
+
+    State per url: (prev simhash, seen-set).  The seen-set is CAPPED at
+    ``state_cap`` values (~32 KB) — beyond it, exact repeats of *old* hashes
+    may re-emit, a bounded-memory trade every streaming dedup makes; the
+    batch path (LSH + CC) is the exhaustive channel.
+
+    Parity note: D1 is an order-of-arrival rule; exact batch equivalence
+    holds when rows arrive per-url in (warc_ts, urim) order (each micro-batch
+    is sorted internally)."""
+    import pandas as pd
+
+    columns = ["url", "warc_ts", "urim", "raw_simhash"]
+
+    def dedup_fn(key, pdf_iter, state):
+        prev, seen_list = state.get if state.exists else (0, [])
+        seen = set(int(h) for h in seen_list)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["warc_ts", "urim"], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                h = int(row.raw_simhash)
+                if h in seen:
+                    continue
+                if len(seen) < state_cap:
+                    seen.add(h)
+                if ((h ^ prev) & 0xFFFFFFFFFFFFFFFF).bit_count() / 64 > threshold:
+                    out.append((row.url, row.warc_ts, row.urim, h))
+                prev = h
+        state.update((prev, sorted(seen)))
+        if out:
+            yield pd.DataFrame(out, columns=columns)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        enriched.select("url", "warc_ts", "urim", "raw_simhash")
+        .groupBy("url")
+        .applyInPandasWithState(
+            dedup_fn, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_exact_dedup_batch_equivalent(pages: DataFrame) -> DataFrame:
     """The same logical dedup as the stream (url+simhash first-occurrence),
     expressed on a batch frame — used for correctness checks."""

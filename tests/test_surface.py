@@ -339,3 +339,40 @@ def test_lsi_lda_group_kernels(spark, drift_pages):
     firsts = [r for r in by_measure["gensim_lsi"]
               if r.urim == min(x.urim for x in rows if x.urit == r.urit)]
     assert all(abs(r.comparison_score - 1.0) < 1e-9 for r in firsts)
+
+
+def test_streaming_stateful_sequential_dedup(spark, tmp_path):
+    """applyInPandasWithState D1: the streaming output over one availableNow
+    batch equals the batch operator's surviving rows."""
+    from off_topic_memento_toolkit_spark.operators.curation import (
+        exclude_duplicates,
+    )
+    from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
+    from off_topic_memento_toolkit_spark.sources.datagen import generate_pages
+    from off_topic_memento_toolkit_spark.streaming.ingest import (
+        build_streaming_enrichment,
+        streaming_sequential_dedup,
+    )
+
+    pages = generate_pages(spark, n_urls=8, mementos_per_url=5, skew=False,
+                           error_rows=False, dup_rate=0.5)
+    src = str(tmp_path / "src")
+    pages.write.parquet(src)
+
+    stream = build_streaming_enrichment(spark, src)
+    deduped = streaming_sequential_dedup(stream, threshold=0.2)
+    out_path = str(tmp_path / "out")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r.urim for r in spark.read.parquet(out_path).collect()}
+
+    enriched = prepare_pages(pages, need_tf_simhash=False)
+    meta = enriched.select(
+        F.col("url").alias("urit"), "urim",
+        F.col("raw_simhash").alias("simhash"),
+        F.col("warc_ts").alias("memento_datetime"))
+    want = {r.urim for r in exclude_duplicates(meta, threshold=0.2).collect()}
+    assert got == want and len(got) > 0

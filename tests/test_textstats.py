@@ -115,3 +115,34 @@ def test_embedding_near_duplicates_hot_bucket_capped(spark):
     relaxed = embedding_near_duplicates(
         df.limit(10), threshold=0.9, dim=4, n_planes=4, max_bucket_size=32)
     assert relaxed.count() == 45  # 10 choose 2 — under the cap, all pairs kept
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    from off_topic_memento_toolkit_spark.operators.ann import (
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+    centroids = train_ivf_centroids(embeddings, n_centroids=8, dim=8, seed=7)
+    assert centroids.shape[1] == 8
+    queries = embeddings.filter(F.col("vec_id") < 4)
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in cosine_topk(embeddings, queries, k=3).collect()}
+    got = ivf_cosine_topk(embeddings, queries, centroids, k=3, nprobe=4)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3}
+    # rank-1 self-recall always holds (a vector shares its own bucket)
+    for r in rows:
+        if r.rank == 1:
+            assert r.cosine == pytest.approx(1.0, abs=1e-6)
+    # with nprobe=half the centroids, recall@3 vs brute force is high
+    hits = sum((r.query_id, r.rank) in exact
+               and exact[(r.query_id, r.rank)] == r.neighbor_id
+               for r in rows)
+    assert hits >= len(rows) - 2
+
+    # determinism: same seed → identical result set
+    again = ivf_cosine_topk(embeddings, queries,
+                            train_ivf_centroids(embeddings, n_centroids=8,
+                                                dim=8, seed=7),
+                            k=3, nprobe=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
