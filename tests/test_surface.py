@@ -376,3 +376,39 @@ def test_streaming_stateful_sequential_dedup(spark, tmp_path):
         F.col("warc_ts").alias("memento_datetime"))
     want = {r.urim for r in exclude_duplicates(meta, threshold=0.2).collect()}
     assert got == want and len(got) > 0
+
+
+def test_reference_collection_dir_source(spark, tmp_path):
+    """Interop: load the REFERENCE's own test_loaddata fixture (the on-disk
+    store otmt/collectionmodel.py:143-234 writes) into engine tables."""
+    import zipfile
+
+    from off_topic_memento_toolkit_spark.sources.collection_dir import (
+        read_reference_collection,
+    )
+
+    fixture = "/root/reference/tests/testdata/test_loaddata.zip"
+    if not os.path.exists(fixture):
+        pytest.skip("reference fixture absent")
+    with zipfile.ZipFile(fixture) as zf:
+        zf.extractall(str(tmp_path))
+    store = read_reference_collection(spark, str(tmp_path / "test_loaddata"))
+
+    mem = store["mementos"].collect()
+    assert len(mem) == 1
+    assert mem[0].urim == "testing-storage:memento1"
+    assert isinstance(mem[0].html, (bytes, bytearray)) and len(mem[0].html) > 0
+    assert mem[0].headers and isinstance(mem[0].headers, dict)
+
+    tms = store["timemaps"].collect()
+    assert {r.urit for r in tms} == {"testing-storage:timemap2"}
+    assert all(r.original_uri == "http://a.example.org" for r in tms)
+    assert len(tms) >= 3  # the fixture timemap lists 3 mementos
+    assert all(r.memento_datetime is not None for r in tms)
+
+    errs = store["errors"].collect()
+    assert len(errs) == 1 and errs[0].error_msg
+
+    pages = store["pages"]
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert pages.count() == 1  # every stored memento becomes a page row
