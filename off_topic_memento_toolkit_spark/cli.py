@@ -46,12 +46,20 @@ def parse_measures(spec: str):
 
 
 def _read_pages(spark: SparkSession, spec: str):
+    """pages:<parquet> or collection:<reference working dir>; returns
+    (pages, memento_access_errors_or_None)."""
     kind, _, path = spec.partition(":")
-    if kind != "pages":
-        raise SystemExit("input spec must be pages:<parquet path> "
-                         "(WARC/Archive-It acquisition is an ingest job, "
-                         "out of scope per SURVEY S4-S6)")
-    return spark.read.parquet(path)
+    if kind == "pages":
+        return spark.read.parquet(path), None
+    if kind == "collection":
+        from .sources.collection_dir import read_reference_collection
+
+        store = read_reference_collection(spark, path)
+        return store["pages"], store["errors"]
+    raise SystemExit("input spec must be pages:<parquet path> or "
+                     "collection:<reference working directory> "
+                     "(WARC/Archive-It acquisition is an ingest job, "
+                     "out of scope per SURVEY S4-S6)")
 
 
 def main(argv=None):
@@ -62,7 +70,8 @@ def main(argv=None):
     detect.add_argument("-i", "--input", required=True)
     detect.add_argument("-o", "--output", required=True)
     detect.add_argument("-ot", "--output-type", default="json",
-                        choices=["json", "csv", "goldstandard"])
+                        choices=["json", "csv", "goldstandard",
+                                 "csv-dist", "json-dist"])
     detect.add_argument("-tm", "--timemap-measures", default="cosine")
     detect.add_argument("--offtopic-list")
     detect.add_argument("--ontopic-list")
@@ -86,14 +95,29 @@ def main(argv=None):
 
     if args.command == "detect":
         measures, thresholds = parse_measures(args.timemap_measures)
-        pages = _read_pages(spark, args.input)
+        pages, access_errors = _read_pages(spark, args.input)
         result = detect_off_topic(pages, measures=measures, thresholds=thresholds)
+        scores = result["scores"]
+        if access_errors is not None:
+            from .operators.measures import with_error_kinds
+
+            scores = with_error_kinds(scores, memento_access=access_errors)
         if args.output_type == "json":
-            save_as_json(result["scores"], result["overall"], args.output,
+            save_as_json(scores, result["overall"], args.output,
                          meta=result["meta"])
         elif args.output_type == "csv":
-            save_as_csv(result["scores"], result["overall"], args.output,
+            save_as_csv(scores, result["overall"], args.output,
                         meta=result["meta"])
+        elif args.output_type == "csv-dist":
+            from .sources.sinks import save_as_csv_distributed
+
+            save_as_csv_distributed(scores, result["overall"], args.output,
+                                    meta=result["meta"])
+        elif args.output_type == "json-dist":
+            from .sources.sinks import save_as_json_distributed
+
+            save_as_json_distributed(scores, result["overall"], args.output,
+                                     meta=result["meta"])
         else:
             save_as_goldstandard(result["overall"], args.output)
         if args.offtopic_list:
@@ -102,7 +126,7 @@ def main(argv=None):
             save_uri_list(result["overall"], "on-topic", args.ontopic_list)
 
     elif args.command == "dedup":
-        pages = _read_pages(spark, args.input)
+        pages, _ = _read_pages(spark, args.input)
         store = (CheckpointStore(spark, args.checkpoint_dir, args.run_id)
                  if args.checkpoint_dir else None)
         clusters = dedup_pipeline(
@@ -113,7 +137,7 @@ def main(argv=None):
 
     elif args.command == "story":
         from .operators.measures import memento_metadata
-        pages = _read_pages(spark, args.input)
+        pages, _ = _read_pages(spark, args.input)
         story_pipeline(memento_metadata(pages)) \
             .write.mode("overwrite").parquet(args.output)
 

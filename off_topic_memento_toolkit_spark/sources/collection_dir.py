@@ -45,9 +45,13 @@ def _manifest(spark: SparkSession, subdir: str) -> DataFrame:
     )
 
 
-def _blobs(spark: SparkSession, pattern: str, out_col: str) -> DataFrame:
+def _blobs(spark: SparkSession, directory: str, glob: str,
+           out_col: str) -> DataFrame:
+    # pathGlobFilter (not a glob-in-path) so Hadoop's literal-path probe
+    # doesn't log spurious FileNotFound stacks
     return (
-        spark.read.format("binaryFile").load(pattern)
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob).load(directory)
         .select(
             F.regexp_extract("path", _DIGEST_RX, 1).alias("digest"),
             F.col("content").alias(out_col),
@@ -58,8 +62,8 @@ def _blobs(spark: SparkSession, pattern: str, out_col: str) -> DataFrame:
 def read_mementos(spark: SparkSession, working_dir: str) -> DataFrame:
     mdir = os.path.join(working_dir, "mementos")
     manifest = _manifest(spark, mdir)
-    content = _blobs(spark, os.path.join(mdir, "*.orig"), "html")
-    headers = _blobs(spark, os.path.join(mdir, "*_headers.json"), "_hraw") \
+    content = _blobs(spark, mdir, "*.orig", "html")
+    headers = _blobs(spark, mdir, "*_headers.json", "_hraw") \
         .withColumn("headers",
                     F.from_json(F.decode("_hraw", "utf-8"), _HEADERS_TYPE)) \
         .drop("_hraw")
@@ -73,7 +77,7 @@ def read_mementos(spark: SparkSession, working_dir: str) -> DataFrame:
 def read_memento_errors(spark: SparkSession, working_dir: str) -> DataFrame:
     edir = os.path.join(working_dir, "memento_errors")
     manifest = _manifest(spark, edir)
-    info = _blobs(spark, os.path.join(edir, "*_error_info.txt"), "_eraw") \
+    info = _blobs(spark, edir, "*_error_info.txt", "_eraw") \
         .withColumn("error_msg", F.decode("_eraw", "utf-8")).drop("_eraw")
     return (
         info.join(F.broadcast(manifest), "digest")
@@ -112,6 +116,9 @@ def read_reference_collection(spark: SparkSession, working_dir: str) -> dict:
     mementos = read_mementos(spark, working_dir)
     timemaps = read_timemaps(spark, working_dir)
     errors = read_memento_errors(spark, working_dir)
+    # orphan mementos (stored but not listed in any loaded timemap) become
+    # their own singleton timeline: url falls back to the urim, datetime to
+    # the epoch — scoreable, and visibly synthetic
     pages = (
         mementos.join(
             timemaps.select(F.col("memento_uri").alias("urim"),
@@ -119,7 +126,9 @@ def read_reference_collection(spark: SparkSession, working_dir: str) -> dict:
                             F.col("memento_datetime").alias("warc_ts")),
             "urim", "left")
         .select(
-            "url", "warc_ts", "html",
+            F.coalesce("url", "urim").alias("url"),
+            F.coalesce("warc_ts", F.timestamp_seconds(F.lit(0))).alias("warc_ts"),
+            "html",
             F.lit(None).cast("string").alias("text"),
             F.lit(None).cast("string").alias("lang"),
         )
