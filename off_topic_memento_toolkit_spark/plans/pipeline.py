@@ -28,7 +28,7 @@ from ..operators.measures import (
     score_timemap_measures,
 )
 from ..operators.timeline import prepare_pages
-from ..operators.verify import verified_pairs_jaccard
+from ..operators.verify import verified_pairs_jaccard, verified_pairs_lcs
 
 
 def detect_off_topic(
@@ -72,6 +72,8 @@ def dedup_pipeline(
     max_hamming: int = 3,
     use_simhash_channel: bool = True,
     verify: bool = True,
+    verify_method: str = "jaccard",
+    min_lcs_ratio: float = 0.6,
 ) -> DataFrame:
     """Near-duplicate clusters at scale: MinHash-LSH (+ SimHash Hamming-ball)
     candidates → verification → large-star/small-star CC.
@@ -121,6 +123,15 @@ def dedup_pipeline(
     def build_verified():
         if not verify:
             return candidates
+        if verify_method == "lcs":
+            # suffix-array-equivalent longest-common-substring check
+            # (north_rule channel; rolling-hash binary search per pair)
+            return verified_pairs_lcs(
+                candidates, docs, id_col="nid", text_col="text",
+                min_ratio=min_lcs_ratio,
+            ).select("id_a", "id_b")
+        if verify_method != "jaccard":
+            raise ValueError(f"unknown verify_method {verify_method!r}")
         return verified_pairs_jaccard(
             candidates, docs, id_col="nid", tokens_col="tokens",
             min_jaccard=min_jaccard,

@@ -177,3 +177,25 @@ def test_lcs_kernel():
     assert longest_common_substring_length("same text here", "same text here") == 14
     assert longest_common_substring_length("abc", "xyz") == 0
     assert longest_common_substring_length("", "xyz") == 0
+
+
+def test_dedup_pipeline_lcs_verify_channel(spark):
+    """north_rule: suffix-array-equivalent LCS verification as the pipeline's
+    verify stage — near-identical docs cluster, disjoint docs don't."""
+    from off_topic_memento_toolkit_spark.plans.pipeline import dedup_pipeline
+    from off_topic_memento_toolkit_spark.sources.datagen import generate_pages
+
+    pages = generate_pages(spark, n_urls=12, mementos_per_url=4, skew=False,
+                           error_rows=False, dup_rate=0.6)
+    lcs_clusters = dedup_pipeline(pages, verify_method="lcs",
+                                  min_lcs_ratio=0.6)
+    rows = lcs_clusters.collect()
+    assert len(rows) > 0
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r.urim)
+    # exact duplicates (dup_rate=0.6 → same base text) must share a component
+    assert any(len(v) >= 2 for v in by_comp.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup_pipeline(pages, verify_method="nope").collect()
