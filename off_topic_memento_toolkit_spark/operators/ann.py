@@ -227,16 +227,19 @@ def embedding_near_duplicates(
     srp = make_srp_signature_udf(dim, n_planes)
     sides = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")) \
               .withColumn("bucket", srp(F.col("vec")))
-    buckets = sides.groupBy("bucket").agg(
+    # spill-safe size gate BEFORE the unspillable collect_list (see lsh.py)
+    counted = sides.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("bucket")))
+    bounded_rows = counted.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)).drop("_n")
+    buckets = bounded_rows.groupBy("bucket").agg(
         F.collect_list(F.struct("id", "vec")).alias("members"))
-    bounded = buckets.filter(
-        (F.size("members") >= 2) & (F.size("members") <= max_bucket_size))
     expand = (
         "flatten(transform(members, (x, i) -> "
         "transform(slice(members, i + 2, size(members) - i - 1), "
         "y -> struct(x AS u, y AS v))))"
     )
-    pairs = bounded.select(F.explode(F.expr(expand)).alias("p"))
+    pairs = buckets.select(F.explode(F.expr(expand)).alias("p"))
     return (
         pairs.withColumn(
             "cosine", cosine_similarity_col(F.col("p.u.vec"), F.col("p.v.vec")))

@@ -66,13 +66,25 @@ def candidate_pairs_from_buckets(
     near-certainly caught by other bands; a bucket of B rows expands to B²/2
     pairs, so one boilerplate mega-bucket could dominate the job —
     :func:`dropped_bucket_stats` makes the exclusions observable).
+
+    OOM-safety order: the size gate runs as a WINDOW count BEFORE the
+    ``collect_list`` — a window buffers per-key rows in a spillable sorter,
+    while ``collect_list`` must hold the whole bucket in one unspillable
+    array, so filtering after the collect would let a single degenerate
+    10^7-member bucket OOM its reducer at 100 TB.  The window and the groupBy
+    share the same hash partitioning, so this still compiles to ONE exchange
+    (enforced by tests/test_plan_shape.py).
     """
-    buckets = bucketed.groupBy("band", "band_hash").agg(
+    from pyspark.sql import Window
+
+    counted = bucketed.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band", "band_hash")))
+    bounded_rows = counted.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)).drop("_n")
+    buckets = bounded_rows.groupBy("band", "band_hash").agg(
         F.collect_list("id").alias("ids"))
-    bounded = buckets.filter(
-        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     return (
-        bounded.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        buckets.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
         .select(
             F.least("p.u", "p.v").alias("id_a"),
             F.greatest("p.u", "p.v").alias("id_b"),
@@ -144,20 +156,25 @@ def simhash_candidate_pairs(
     """All pairs with hamming(simhash) ≤ max_hamming, found via chunk-bucket
     grouping (exhaustive when max_hamming ≤ chunks-1 by pigeonhole).
 
-    Same one-shuffle collect+expand shape as the MinHash path; the exact
+    Same one-shuffle collect+expand shape as the MinHash path (incl. the
+    spill-safe window-count size gate BEFORE the collect); the exact
     ``bit_count`` verify runs on the expanded pairs, all JVM-side."""
+    from pyspark.sql import Window
+
     table = simhash_chunk_table(df, id_col, simhash_col, chunks)
-    buckets = table.groupBy("chunk", "chunk_value").agg(
+    counted = table.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("chunk", "chunk_value")))
+    bounded_rows = counted.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)).drop("_n")
+    buckets = bounded_rows.groupBy("chunk", "chunk_value").agg(
         F.collect_list(F.struct("id", "simhash")).alias("members"))
-    bounded = buckets.filter(
-        (F.size("members") >= 2) & (F.size("members") <= max_bucket_size))
     expand = (
         "flatten(transform(members, (x, i) -> "
         "transform(slice(members, i + 2, size(members) - i - 1), "
         "y -> struct(x AS u, y AS v))))"
     )
     return (
-        bounded.select(F.explode(F.expr(expand)).alias("p"))
+        buckets.select(F.explode(F.expr(expand)).alias("p"))
         .filter(
             F.bit_count(
                 F.col("p.u.simhash").bitwiseXOR(F.col("p.v.simhash"))

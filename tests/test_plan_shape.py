@@ -82,5 +82,8 @@ def test_lsh_candidates_no_join(spark):
     pairs = candidate_pairs_from_buckets(bands)
     plan = _executed_plan(pairs)
     assert "Join" not in plan, plan
-    # exactly the groupBy shuffle + the distinct's shuffle
+    # the size-gate window and the collect_list groupBy share one hash
+    # exchange; the distinct adds the second — nothing else shuffles
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    # the spill-safe gate sits BEFORE the collect: Window below HashAggregate
+    assert plan.index("HashAggregate") < plan.index("Window")  # printed top-down
