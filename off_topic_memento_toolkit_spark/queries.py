@@ -522,11 +522,15 @@ def rows_only_queries() -> dict:
     from .operators.measures import score_timemap_measures
 
     def q_offtopic_measures_full(spark, sf_dir):
+        # the COMPLETE 12-measure registry (otmt/timemap_measures.py:944-957);
+        # gensim_lda is the labeled seeded stand-in (reference's own tests
+        # call LDA non-deterministic, so it has no parity target anywhere)
         return score_timemap_measures(
             pages_from_documents(spark, sf_dir),
             measures=("bytecount", "wordcount", "jaccard", "sorensen",
                       "tfintersection", "levenshtein", "nlevenshtein",
-                      "raw_simhash", "tf_simhash", "cosine", "gensim_lsi"),
+                      "raw_simhash", "tf_simhash", "cosine", "gensim_lsi",
+                      "gensim_lda"),
         )
 
     return {"offtopic_measures_full": q_offtopic_measures_full}

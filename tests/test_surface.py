@@ -412,3 +412,18 @@ def test_reference_collection_dir_source(spark, tmp_path):
     pages = store["pages"]
     assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
     assert pages.count() == 1  # every stored memento becomes a page row
+
+
+def test_distributed_json_sink(spark, drift_pages, tmp_path):
+    from off_topic_memento_toolkit_spark.sources.sinks import (
+        save_as_json_distributed,
+    )
+    scores = score_timemap_measures(drift_pages, measures=("wordcount",))
+    overall = overall_status(scores)
+    path = str(tmp_path / "jsonl")
+    save_as_json_distributed(scores, overall, path)
+    back = spark.read.json(path)
+    assert back.count() == scores.count()
+    cols = set(back.columns)
+    assert {"urit", "urim", "measure", "comparison_score",
+            "topic_status", "overall_topic_status"} <= cols
