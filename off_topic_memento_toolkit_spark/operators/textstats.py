@@ -101,14 +101,23 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 def exact_duplicates(df: DataFrame, key_cols=("fingerprint",),
                      order_col: str | None = None) -> DataFrame:
     """Exact dedup via hash-groupBy: returns rows annotated with
-    ``dup_group_size`` and ``is_canonical`` (first by ``order_col``, default
-    the frame's first column — deterministic keeper per group)."""
-    from pyspark.sql import Window
+    ``dup_group_size`` and ``is_canonical`` (minimum ``order_col`` per group,
+    default the frame's first column — deterministic keeper when the order
+    column is unique, which a doc id is).
 
+    Skew shape: count+min are MAP-SIDE-COMBINABLE, so the group stats reduce
+    to one row per fingerprint before any data moves, and the join back is
+    AQE-skew-splittable — a boilerplate fingerprint shared by 10^8 rows never
+    lands on a single window task (the window formulation would sort that
+    whole group in one straggler)."""
+    keys = list(key_cols)
     order = order_col or df.columns[0]
-    group = Window.partitionBy(*key_cols)
-    ranked = Window.partitionBy(*key_cols).orderBy(order)
+    stats = df.groupBy(*keys).agg(
+        F.count("*").alias("dup_group_size"),
+        F.min(order).alias("_min_order"),
+    )
     return (
-        df.withColumn("dup_group_size", F.count("*").over(group))
-        .withColumn("is_canonical", F.row_number().over(ranked) == 1)
+        df.join(stats, keys)
+        .withColumn("is_canonical", F.col(order) == F.col("_min_order"))
+        .drop("_min_order")
     )
