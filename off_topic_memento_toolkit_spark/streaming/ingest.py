@@ -62,6 +62,31 @@ def write_signatures_stream(df: DataFrame, out_path: str,
     )
 
 
+def streaming_crawl_rates(
+    enriched: DataFrame,
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Windowed aggregation over the crawl stream: pages and distinct-simhash
+    counts per (url, event-time window).  Uses the watermark already set by
+    :func:`build_streaming_enrichment` (redefining a watermark downstream is
+    disallowed): late arrivals inside it update their window, older ones are
+    dropped at the state boundary — the standard late-data contract.  Emits
+    one final row per window in append mode (used with the parquet sink)."""
+    return (
+        enriched
+        .groupBy(F.window("warc_ts", window_duration).alias("win"), "url")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.approx_count_distinct("raw_simhash").alias("n_distinct_simhash"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "url", "n_pages", "n_distinct_simhash",
+        )
+    )
+
+
 DEDUP_OUT_SCHEMA = ("url string, warc_ts timestamp, urim string, "
                     "raw_simhash long")
 DEDUP_STATE_SCHEMA = "prev long, seen array<long>"

@@ -427,3 +427,33 @@ def test_distributed_json_sink(spark, drift_pages, tmp_path):
     cols = set(back.columns)
     assert {"urit", "urim", "measure", "comparison_score",
             "topic_status", "overall_topic_status"} <= cols
+
+
+def test_streaming_windowed_rates_with_watermark(spark, tmp_path):
+    """Watermark + event-time windowed agg over the crawl stream (late-data
+    contract); append-mode windows land in the parquet sink."""
+    from off_topic_memento_toolkit_spark.sources.datagen import generate_pages
+    from off_topic_memento_toolkit_spark.streaming.ingest import (
+        build_streaming_enrichment,
+        streaming_crawl_rates,
+    )
+
+    pages = generate_pages(spark, n_urls=6, mementos_per_url=4, skew=False,
+                           error_rows=False)
+    src = str(tmp_path / "src")
+    pages.write.parquet(src)
+    rates = streaming_crawl_rates(
+        build_streaming_enrichment(spark, src, watermark="2 hours"),
+        window_duration="1 hour")
+    q = (rates.writeStream.format("parquet")
+         .option("path", str(tmp_path / "rates"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "rates"))
+    rows = got.collect()
+    # availableNow + watermark: windows older than max_ts - 2h are finalized
+    assert len(rows) > 0
+    assert all(r.n_pages >= 1 and r.n_distinct_simhash >= 1 for r in rows)
+    batch_total = sum(r.n_pages for r in rows)
+    assert batch_total <= pages.count()
