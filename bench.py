@@ -18,8 +18,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # bench measures engine throughput, not the oracle harness: skip the parquet
-# side-writes the correctness gate uses (results identical — queries_mat.py)
-os.environ.setdefault("OTMT_MATERIALIZE", "0")
+# side-writes the correctness gate uses (results identical — queries_mat.py).
+# Hard assignment — an inherited OTMT_MATERIALIZE=1 from a debug shell must
+# not silently add oracle I/O to the timed runs.
+os.environ["OTMT_MATERIALIZE"] = "0"
 
 from off_topic_memento_toolkit_spark.queries import (  # noqa: E402
     make_sql_query,

@@ -128,6 +128,9 @@ def train_ivf_centroids(
     sample = [list(r[0]) for r in
               corpus.select(vec_col).limit(max_train).collect()]
     X = np.asarray(sample, dtype=np.float64)
+    if dim is not None and X.ndim == 2 and X.shape[1] != dim:
+        raise ValueError(
+            f"embedding width {X.shape[1]} != declared dim {dim}")
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0] = 1.0
     X = X / norms[:, None]

@@ -354,11 +354,32 @@ def with_error_kinds(
         "error_kind",
         F.when(F.col("error_msg").isNotNull(), F.lit(ERROR_KIND_MEASUREMENT)),
     )
+
+    def _synthetic_rows(keyed, kind):
+        """One row per never-scored urit/urim that carries only an access
+        error — the reference emits exactly these (its error models are
+        populated independently of the score model); every other column of
+        the scores schema is NULL."""
+        columns = []
+        for field in df.schema.fields:
+            if field.name in keyed.columns:
+                columns.append(F.col(field.name))
+            elif field.name == "error_msg":
+                columns.append(F.col("error_msg"))
+            elif field.name == "error_kind":
+                columns.append(F.lit(kind).alias("error_kind"))
+            else:
+                columns.append(
+                    F.lit(None).cast(field.dataType).alias(field.name))
+        return keyed.select(*columns)
+
     if memento_access is not None:
-        ma = memento_access.select(
-            "urim", F.col("error_msg").alias("_ma_msg")).distinct()
+        cols = ["urim", "error_msg"] + (
+            ["urit"] if "urit" in memento_access.columns else [])
+        ma = memento_access.select(*cols).distinct()
         df = (
-            df.join(F.broadcast(ma), "urim", "left")
+            df.join(F.broadcast(ma.select(
+                "urim", F.col("error_msg").alias("_ma_msg"))), "urim", "left")
             .withColumn(
                 "error_kind",
                 F.when(F.col("_ma_msg").isNotNull(),
@@ -370,6 +391,12 @@ def with_error_kinds(
                 .otherwise(F.col("error_msg")))
             .drop("_ma_msg")
         )
+        # mementos that failed to download never produced score rows at all —
+        # they must still surface as one access-error row each
+        missing = ma.join(scores.select("urim").distinct(), "urim",
+                          "left_anti")
+        df = df.unionByName(
+            _synthetic_rows(missing, ERROR_KIND_MEMENTO_ACCESS))
     if timemap_access is not None:
         ta = timemap_access.select(
             "urit", F.col("error_msg").alias("_ta_msg")).distinct()
@@ -394,6 +421,16 @@ def with_error_kinds(
                 F.when(applies, F.col("_ta_msg")).otherwise(F.col("error_msg")))
             .drop("_ta_msg")
         )
+        # an unfetchable timemap with NO rows at all in the frame (no scored
+        # mementos, no memento-access rows that would clear it) still gets
+        # one synthetic row; any existing row for the urit means the error
+        # was either already applied by the window or cleared by exclusivity
+        missing_tm = (
+            timemap_access.select("urit", "error_msg").distinct()
+            .join(df.select("urit").distinct(), "urit", "left_anti")
+        )
+        df = df.unionByName(
+            _synthetic_rows(missing_tm, ERROR_KIND_TIMEMAP_ACCESS))
     return df
 
 

@@ -116,8 +116,18 @@ def exact_duplicates(df: DataFrame, key_cols=("fingerprint",),
         F.count("*").alias("dup_group_size"),
         F.min(order).alias("_min_order"),
     )
+    # null-SAFE join: groupBy groups NULL keys together, but a plain equi-join
+    # would silently drop those rows (NULL never equi-matches) — the window
+    # formulation this replaces kept them
+    stats = stats.select(
+        *[F.col(k).alias(f"_k_{k}") for k in keys],
+        "dup_group_size", "_min_order")
+    cond = None
+    for k in keys:
+        clause = df[k].eqNullSafe(stats[f"_k_{k}"])
+        cond = clause if cond is None else (cond & clause)
     return (
-        df.join(stats, keys)
+        df.join(stats, cond)
         .withColumn("is_canonical", F.col(order) == F.col("_min_order"))
-        .drop("_min_order")
+        .drop("_min_order", *[f"_k_{k}" for k in keys])
     )

@@ -88,14 +88,17 @@ def read_memento_errors(spark: SparkSession, working_dir: str) -> DataFrame:
 def read_timemaps(spark: SparkSession, working_dir: str) -> DataFrame:
     """One row per (urit, memento listing).  Timemap JSONs are one small file
     per original URL — read driver-side like the reference loader does."""
+    import csv
+
     tdir = os.path.join(working_dir, "timemaps")
     rows = []
-    with open(os.path.join(tdir, "metadata.csv")) as fh:
-        for line in fh:
-            line = line.strip()
-            if not line:
+    with open(os.path.join(tdir, "metadata.csv"), newline="") as fh:
+        # the reference writes this manifest with csv.writer, which quotes
+        # URI-Ts containing commas/quotes — parse with csv.reader, not split
+        for record in csv.reader(fh):
+            if not record:
                 continue
-            urit, digest = line.rsplit(",", 1)
+            urit, digest = record[0], record[1]
             with open(os.path.join(tdir, f"{digest}.json")) as jf:
                 tm = json.load(jf)
             original = tm.get("original_uri")

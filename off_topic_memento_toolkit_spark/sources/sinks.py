@@ -172,19 +172,9 @@ def save_as_csv_distributed(scores: DataFrame, overall: DataFrame, path: str,
     is_me = kind == ERROR_KIND_MEASUREMENT
     is_err = kind.isNotNull()
 
-    # collapse access errors to one row per timemap / memento; the clean
-    # (usually huge) side never shuffles for this — only error rows dedupe
-    dedup_key = F.when(is_tm, F.col("urit")) \
-                 .when(is_ma, F.col("urim")) \
-                 .otherwise(F.concat_ws(" ", "urim", "measure"))
-    clean = joined.filter(~is_err)
-    errors = (
-        joined.filter(is_err)
-        .withColumn("_k", dedup_key)
-        .dropDuplicates(["error_kind", "_k"])
-        .drop("_k")
-    )
-    ranked = clean.unionByName(errors)
+    # collapse access errors to one row per timemap / memento (shared with
+    # the JSON variant); the clean side never shuffles for this
+    ranked = _collapse_access_errors(joined)
 
     error_label = (
         F.when(is_tm, F.lit(CSV_ERROR_LABELS[ERROR_KIND_TIMEMAP_ACCESS]))
@@ -220,13 +210,36 @@ def save_as_csv_distributed(scores: DataFrame, overall: DataFrame, path: str,
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+def _collapse_access_errors(joined: DataFrame) -> DataFrame:
+    """One row per access-errored timemap/memento (instead of one per
+    measure), clean rows untouched — shared by both distributed sinks so
+    their record multiplicities agree with the single-file exports."""
+    kind = F.col("error_kind")
+    is_tm = kind == ERROR_KIND_TIMEMAP_ACCESS
+    is_ma = kind == ERROR_KIND_MEMENTO_ACCESS
+    # null-safe: clean rows have a NULL kind, and ~(NULL == x) is NULL,
+    # which a filter drops — coalesce to keep them
+    is_access = F.coalesce(is_tm | is_ma, F.lit(False))
+    dedup_key = F.when(is_tm, F.col("urit")).otherwise(F.col("urim"))
+    clean = joined.filter(~is_access)
+    errors = (
+        joined.filter(is_access)
+        .withColumn("_k", dedup_key)
+        .dropDuplicates(["error_kind", "_k"])
+        .drop("_k")
+    )
+    return clean.unionByName(errors)
+
+
 def save_as_json_distributed(scores: DataFrame, overall: DataFrame, path: str,
                              meta: DataFrame | None = None) -> None:
     """Scale variant of the JSON export: flat JSONL records (one per
-    memento-measure, access errors collapsed upstream of nesting) written by
-    the executors.  The 4-level nested single-file shape remains the
-    driver-side parity export."""
-    _joined(scores, overall, meta).write.mode("overwrite").json(path)
+    memento-measure; access errors collapsed to one record per failed
+    timemap/memento, same as the CSV variant) written by the executors.
+    The 4-level nested single-file shape remains the driver-side parity
+    export."""
+    _collapse_access_errors(_joined(scores, overall, meta)) \
+        .write.mode("overwrite").json(path)
 
 
 def save_as_goldstandard(overall: DataFrame, filename: str) -> None:

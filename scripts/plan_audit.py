@@ -83,20 +83,24 @@ def main():
              f"Counts are plan-node occurrences.",
              "",
              "| query | hash exch | RR exch | bcast exch | python nodes | "
-             "SMJ | BHJ | cartesian | sorts | windows | scans |",
-             "|---|---|---|---|---|---|---|---|---|---|---|"]
+             "SMJ | BHJ | cartesian | NLJ | sorts | windows | scans |",
+             "|---|---|---|---|---|---|---|---|---|---|---|---|"]
     details = []
     for name, fn in targets.items():
         df = fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         s = summarize(plan)
         assert s["cartesian"] == 0, f"{name} has a cartesian product!"
+        # BroadcastNestedLoopJoin is what an accidental cross join compiles
+        # to at test scale — the audited queries must be equi-join-only
+        # (cosine_topk's broadcast scan is deliberately NOT in this list)
+        assert s["nested_loop"] == 0, f"{name} has a nested-loop join!"
         lines.append(
             f"| {name} | {s['hash_exchanges']} | {s['roundrobin_exchanges']} "
             f"| {s['broadcast_exchanges']} | {s['python_nodes']} "
             f"| {s['sortmerge_joins']} | {s['broadcast_joins']} "
-            f"| {s['cartesian']} | {s['sorts']} | {s['windows']} "
-            f"| {s['scans']} |")
+            f"| {s['cartesian']} | {s['nested_loop']} | {s['sorts']} "
+            f"| {s['windows']} | {s['scans']} |")
         details.append(f"- **{name}** — {notes[name]}")
     lines += ["", "## Shape notes", ""] + details + [
         "",

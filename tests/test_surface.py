@@ -457,3 +457,38 @@ def test_streaming_windowed_rates_with_watermark(spark, tmp_path):
     assert all(r.n_pages >= 1 and r.n_distinct_simhash >= 1 for r in rows)
     batch_total = sum(r.n_pages for r in rows)
     assert batch_total <= pages.count()
+
+
+def test_error_kinds_cover_never_scored_mementos(spark, drift_pages):
+    """A memento that failed to download never enters scores, yet must
+    surface as exactly one access-error row (the review's finding #1);
+    same for a wholly-unfetchable timemap."""
+    from off_topic_memento_toolkit_spark.operators.measures import (
+        with_error_kinds,
+    )
+
+    scores = score_timemap_measures(drift_pages, measures=("wordcount",))
+    ma = spark.createDataFrame(
+        [("never-downloaded:m1", "ConnectTimeout", "some-timemap:t1")],
+        "urim string, error_msg string, urit string")
+    ta = spark.createDataFrame(
+        [("unfetchable:t9", "404 on the TimeMap itself")],
+        "urit string, error_msg string")
+    kinds = with_error_kinds(scores, memento_access=ma, timemap_access=ta)
+    rows = kinds.collect()
+    synth_m = [r for r in rows if r.urim == "never-downloaded:m1"]
+    assert len(synth_m) == 1
+    assert synth_m[0].error_kind == "memento access"
+    assert synth_m[0].urit == "some-timemap:t1"
+    assert synth_m[0].measure is None and synth_m[0].comparison_score is None
+    synth_t = [r for r in rows if r.urit == "unfetchable:t9"]
+    assert len(synth_t) == 1
+    assert synth_t[0].error_kind == "timemap access"
+    assert synth_t[0].urim is None
+    # exclusivity: a memento error in an unfetchable timemap clears it
+    ta2 = spark.createDataFrame(
+        [("some-timemap:t1", "should be cleared by the memento error")],
+        "urit string, error_msg string")
+    kinds2 = with_error_kinds(scores, memento_access=ma, timemap_access=ta2)
+    t1_rows = [r for r in kinds2.collect() if r.urit == "some-timemap:t1"]
+    assert len(t1_rows) == 1 and t1_rows[0].error_kind == "memento access"

@@ -146,3 +146,14 @@ def test_ivf_topk_recall(spark, embeddings):
                                                 dim=8, seed=7),
                             k=3, nprobe=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_exact_duplicates_keeps_null_keys(spark):
+    # review finding: the groupBy+join rewrite must not drop NULL-key rows
+    rows = [(0, "a"), (1, None), (2, None), (3, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, fingerprint string")
+    got = exact_duplicates(df, order_col="doc_id").collect()
+    assert len(got) == 4  # every input row survives
+    nulls = [r for r in got if r.fingerprint is None]
+    assert len(nulls) == 2 and all(r.dup_group_size == 2 for r in nulls)
+    assert sum(r.is_canonical for r in nulls) == 1
