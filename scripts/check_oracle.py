@@ -2,6 +2,7 @@
 Spark and its oracle_sql() on DuckDB at sf0.01; compare row count, column
 names, and order-insensitive values."""
 
+import os
 import sys
 import time
 
@@ -12,7 +13,7 @@ import duckdb
 import __spark_entry__ as entrymod
 from off_topic_memento_toolkit_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("OTMT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def normalize(rows, columns):
