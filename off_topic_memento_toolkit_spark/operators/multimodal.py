@@ -88,6 +88,57 @@ def extract_media_features(media: DataFrame, decode_fn=None,
         kernel, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("resize_error", T.StringType()),
+])
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int,
+                 resize_fn=None) -> DataFrame:
+    """Image resize plumbing: partition-preserving mapInPandas over the
+    binary column, metadata updated to the target box.  ``resize_fn(payload,
+    w, h, target_w, target_h) -> bytes`` is the real-codec hook (PIL etc.,
+    absent in this container); the default stand-in downsamples the byte
+    stream proportionally to the pixel-count ratio — deterministic, so the
+    batch shape / schema / error-row contract is fully testable."""
+    def _fake_resize(payload, w, h, tw, th):
+        if payload is None:
+            raise ValueError("null payload")
+        if not w or not h:
+            raise ValueError("source dimensions unknown")
+        ratio = max(int((w * h) / max(tw * th, 1)), 1)
+        return bytes(payload[::ratio])
+
+    fn = resize_fn or _fake_resize
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload, w, h in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["width"], pdf["height"],
+            ):
+                try:
+                    w_i = None if pd.isna(w) else int(w)
+                    h_i = None if pd.isna(h) else int(h)
+                    resized = fn(payload, w_i, h_i, target_w, target_h)
+                    rows.append((media_id, kind, resized,
+                                 target_w, target_h, None))
+                except Exception as exc:  # noqa: BLE001 — error rows
+                    rows.append((media_id, kind, None, None, None, repr(exc)))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "resize_error"])
+
+    return media.select("media_id", "kind", "payload", "width", "height") \
+                .mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: REAL implementations decode keyframes; here the
     plumbing contract (explode into (media_id, frame_ts_ms, payload slice))

@@ -370,6 +370,20 @@ SELECT d.doc_id AS doc_id,
 FROM docs d CROSS JOIN g"""
 
 
+def q_collection_sorensen(d: _Dialect) -> str:
+    """K14 analogue: per-doc Sørensen distance to the collection token bag
+    (A ⊆ G ⇒ |A∩G| = |A|), same count-distinct identity as the jaccard twin."""
+    return f"""WITH {_docs_cte(d)},
+g AS (
+  SELECT count(DISTINCT token) AS gn
+  FROM docs {d.explode('d', 'toks', 'token')}
+)
+SELECT d.doc_id AS doc_id,
+       round(1.0 - (cast(2.0 AS double) * {d.alen(d.adistinct('d.toks'))})
+             / ({d.alen(d.adistinct('d.toks'))} + g.gn), 6) AS coll_sorensen
+FROM docs d CROSS JOIN g"""
+
+
 def q_tpch_pricing_summary(d: _Dialect) -> str:
     return """
 SELECT l_returnflag, l_linestatus,
@@ -462,6 +476,7 @@ ORACLE_QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "collection_jaccard": q_collection_jaccard,
+    "collection_sorensen": q_collection_sorensen,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "events_hourly": q_events_hourly,
     "customer_order_totals": q_customer_order_totals,

@@ -492,3 +492,26 @@ def test_error_kinds_cover_never_scored_mementos(spark, drift_pages):
     kinds2 = with_error_kinds(scores, memento_access=ma, timemap_access=ta2)
     t1_rows = [r for r in kinds2.collect() if r.urit == "some-timemap:t1"]
     assert len(t1_rows) == 1 and t1_rows[0].error_kind == "memento access"
+
+
+def test_multimodal_resize_plumbing(spark):
+    from off_topic_memento_toolkit_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+    rows = [
+        ("img-1", "image", b"\x89PNGfakebytes" * 64, "image/png", 64, 64, None),
+        ("img-2", "image", b"\x89PNGother" * 64, "image/png", 128, 128, None),
+        ("bad-1", "image", None, "image/png", 32, 32, None),
+        ("bad-2", "image", b"x" * 100, "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r.media_id: r for r in resize_media(media, 32, 32).collect()}
+    assert got["img-1"].width == 32 and got["img-1"].height == 32
+    assert got["img-1"].resize_error is None
+    assert len(got["img-2"].payload) < len(rows[1][2])  # downsampled
+    assert got["bad-1"].resize_error and got["bad-1"].payload is None
+    assert got["bad-2"].resize_error  # unknown source dims → error row
+    # deterministic
+    again = {r.media_id: r for r in resize_media(media, 32, 32).collect()}
+    assert again["img-1"].payload == got["img-1"].payload
