@@ -143,8 +143,22 @@ def dedup_pipeline(
         edges = verified.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
+        cc_writer = None
+        if store is not None:
+            # MID-LOOP resume (north_rule "resumes mid-pipeline"): each CC
+            # iteration is its own committed stage.  On relaunch the loop
+            # replays committed iterations as pure reads — the star-step
+            # plans built for them are lazy and never execute — and resumes
+            # computing at the first uncommitted iteration.
+            def cc_writer(df, iteration):
+                name = f"cc_iter_{iteration:03d}"
+                if store.is_committed(name):
+                    return store.read(name)
+                return store.write(df, name)
+
         labeled = attach_components(
-            docs.select("nid", "urim"), edges, id_col="nid"
+            docs.select("nid", "urim"), edges, id_col="nid",
+            checkpoint_dir_writer=cc_writer,
         )
         return labeled.select("urim", "component")
 

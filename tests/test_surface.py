@@ -515,3 +515,34 @@ def test_multimodal_resize_plumbing(spark):
     # deterministic
     again = {r.media_id: r for r in resize_media(media, 32, 32).collect()}
     assert again["img-1"].payload == got["img-1"].payload
+
+
+def test_mid_cc_loop_resume(spark, tmp_path):
+    """Killing after some CC iterations must resume mid-loop: committed
+    cc_iter_* stages are replayed as reads (their commit markers' monotonic
+    timestamps prove they were not rewritten)."""
+    import glob
+    import os as _os
+
+    from off_topic_memento_toolkit_spark.plans.checkpoints import CheckpointStore
+    from off_topic_memento_toolkit_spark.plans.pipeline import dedup_pipeline
+
+    pages = generate_pages(spark, n_urls=10, mementos_per_url=4, skew=False,
+                           error_rows=False, dup_rate=0.6)
+    root = str(tmp_path / "cc_ckpt")
+    store1 = CheckpointStore(spark, root, run_id="r1")
+    first = sorted(map(tuple, dedup_pipeline(pages, store=store1).collect()))
+
+    iter_markers = sorted(glob.glob(f"{root}/cc_iter_*._COMMIT.json"))
+    assert iter_markers, "CC iterations were not checkpointed"
+    stamps = {m: json.load(open(m))["committed_at_monotonic"]
+              for m in iter_markers}
+
+    # simulate a kill right before the final clusters commit
+    _os.remove(f"{root}/clusters._COMMIT.json")
+    store2 = CheckpointStore(spark, root, run_id="r1")
+    again = sorted(map(tuple, dedup_pipeline(pages, store=store2).collect()))
+    assert again == first
+    for marker, stamp in stamps.items():
+        assert json.load(open(marker))["committed_at_monotonic"] == stamp, \
+            f"{marker} was recomputed instead of replayed"
