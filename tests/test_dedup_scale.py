@@ -199,3 +199,44 @@ def test_dedup_pipeline_lcs_verify_channel(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dedup_pipeline(pages, verify_method="nope").collect()
+
+
+def test_dedup_recall_vs_reference_chain_assignments(spark):
+    """North acceptance: dup-pair recall >= 0.99 against the REFERENCE
+    CHAIN'S assignments (D3 cluster_by_simhash groups) at identical configs —
+    every pair the faithful curation chain calls a duplicate cluster member
+    must be recovered by the scaled LSH+CC path."""
+    from off_topic_memento_toolkit_spark.operators.curation import (
+        cluster_by_simhash,
+        slice_by_datetime,
+    )
+    from off_topic_memento_toolkit_spark.operators.measures import (
+        memento_metadata,
+    )
+    from off_topic_memento_toolkit_spark.plans.pipeline import dedup_pipeline
+    from off_topic_memento_toolkit_spark.sources.datagen import generate_pages
+
+    pages = generate_pages(spark, n_urls=30, mementos_per_url=5, skew=False,
+                           error_rows=False, dup_rate=0.5)
+
+    # reference-chain assignments: D2 slice -> D3 equal-simhash clusters
+    meta = memento_metadata(pages)
+    clustered = cluster_by_simhash(slice_by_datetime(meta))
+    groups = {}
+    for r in clustered.filter(F.col("cluster_id") >= 0).collect():
+        groups.setdefault((r.slice_id, r.cluster_id), []).append(r.urim)
+    truth_pairs = {
+        (a, b)
+        for members in groups.values()
+        for i, a in enumerate(sorted(members))
+        for b in sorted(members)[i + 1:]
+    }
+    assert truth_pairs, "fixture produced no reference clusters"
+
+    # scaled path at the same signature configs
+    clusters = dedup_pipeline(pages).collect()
+    comp = {r.urim: r.component for r in clusters}
+    found = sum(comp.get(a) is not None and comp.get(a) == comp.get(b)
+                for a, b in truth_pairs)
+    recall = found / len(truth_pairs)
+    assert recall >= 0.99, (recall, len(truth_pairs))
