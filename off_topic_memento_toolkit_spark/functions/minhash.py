@@ -51,26 +51,40 @@ def permutation_coefficients(num_perm: int = DEFAULT_NUM_PERM, seed: int = 12345
     return _COEFF_CACHE[key]
 
 
+_TOKEN_HASH_CACHE: dict = {}
+_POLY = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier (golden-ratio mix)
+
+
+def _token_hash(token: str) -> np.uint64:
+    """md5-derived 64-bit token hash, memoized per worker — vocabulary is
+    Zipfian, so the cache hit rate is near 1 after the first batches."""
+    h = _TOKEN_HASH_CACHE.get(token)
+    if h is None:
+        h = struct.unpack(
+            "<Q", hashlib.md5(token.encode("utf-8")).digest()[:8])[0]
+        _TOKEN_HASH_CACHE[token] = h
+    return h
+
+
 def shingle_hashes(tokens, shingle_words: int = DEFAULT_SHINGLE_WORDS) -> np.ndarray:
-    """64-bit md5 hashes of the distinct word shingles of a token list."""
+    """64-bit hashes of the distinct ``shingle_words``-token windows.
+
+    One md5 per DISTINCT TOKEN (memoized), then the window hash is a
+    vectorized polynomial over the token hashes (wrap-mod-2^64) — the
+    previous shape (one md5 per shingle string) spent the whole kernel in
+    hashlib.  Collision-merging two distinct shingles happens at 2^-64 and
+    only costs one candidate pair, never a missed one... per band."""
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    if n < shingle_words:
-        shingles = {" ".join(tokens)}
-    else:
-        shingles = {
-            " ".join(tokens[i:i + shingle_words])
-            for i in range(n - shingle_words + 1)
-        }
-    return np.fromiter(
-        (
-            struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
-            for s in shingles
-        ),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
+    t = np.fromiter((_token_hash(tok) for tok in tokens),
+                    dtype=np.uint64, count=n)
+    w = min(shingle_words, n)
+    with np.errstate(over="ignore"):
+        out = np.zeros(n - w + 1, dtype=np.uint64)
+        for k in range(w):
+            out = out * _POLY + t[k:n - w + 1 + k]
+    return np.unique(out)
 
 
 def minhash_signature(
