@@ -86,9 +86,25 @@ def main(argv=None):
     dedup.add_argument("--shingle-words", type=int, default=5)
     dedup.add_argument("--min-jaccard", type=float, default=0.8)
 
+    dedup.add_argument("--verify-method", default="jaccard",
+                       choices=["jaccard", "lcs"])
+
     story = sub.add_parser("story", help="curation chain (dedup/slice/cluster/pick)")
     story.add_argument("-i", "--input", required=True)
     story.add_argument("-o", "--output", required=True)
+
+    stream = sub.add_parser(
+        "stream", help="structured-streaming ingest over a pages directory")
+    stream.add_argument("-i", "--input", required=True,
+                        help="pages parquet directory (file stream source)")
+    stream.add_argument("-o", "--output", required=True)
+    stream.add_argument("--checkpoint", required=True)
+    stream.add_argument("--mode", default="dedup",
+                        choices=["dedup", "rates", "signatures"])
+    stream.add_argument("--watermark", default="1 hour")
+    stream.add_argument("--window", default="1 hour")
+    stream.add_argument("--once", action="store_true",
+                        help="availableNow trigger (drain and stop)")
 
     args = parser.parse_args(argv)
     spark = get_spark(f"otmt-spark-{args.command}")
@@ -132,8 +148,38 @@ def main(argv=None):
         clusters = dedup_pipeline(
             pages, store=store, num_perm=args.num_perm, bands=args.bands,
             shingle_words=args.shingle_words, min_jaccard=args.min_jaccard,
+            verify_method=args.verify_method,
         )
         clusters.write.mode("overwrite").parquet(args.output)
+
+    elif args.command == "stream":
+        from .streaming.ingest import (
+            build_streaming_enrichment,
+            streaming_crawl_rates,
+            streaming_sequential_dedup,
+            write_signatures_stream,
+        )
+
+        enriched = build_streaming_enrichment(
+            spark, args.input, watermark=args.watermark)
+        if args.mode == "dedup":
+            out = streaming_sequential_dedup(enriched)
+        elif args.mode == "rates":
+            out = streaming_crawl_rates(enriched, window_duration=args.window)
+        else:
+            query = write_signatures_stream(enriched, args.output,
+                                            args.checkpoint)
+            query.awaitTermination()
+            spark.stop()
+            return
+        writer = (out.writeStream.format("parquet")
+                  .option("path", args.output)
+                  .option("checkpointLocation", args.checkpoint)
+                  .outputMode("append"))
+        if args.once:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        query.awaitTermination()
 
     elif args.command == "story":
         from .operators.measures import memento_metadata
