@@ -166,9 +166,16 @@ def main(argv=None):
             out = streaming_sequential_dedup(enriched)
         elif args.mode == "rates":
             out = streaming_crawl_rates(enriched, window_duration=args.window)
+            if args.once:
+                print(
+                    "note: append-mode windowed aggregation only emits "
+                    "windows the watermark has passed — a bounded --once "
+                    "drain withholds the trailing ~(watermark + window); "
+                    "lower --watermark for bounded inputs.",
+                    file=sys.stderr)
         else:
             query = write_signatures_stream(enriched, args.output,
-                                            args.checkpoint)
+                                            args.checkpoint, once=args.once)
             query.awaitTermination()
             spark.stop()
             return

@@ -52,14 +52,19 @@ def permutation_coefficients(num_perm: int = DEFAULT_NUM_PERM, seed: int = 12345
 
 
 _TOKEN_HASH_CACHE: dict = {}
+_TOKEN_CACHE_CAP = 1 << 20  # web vocab is unbounded; a worker's cache isn't
 _POLY = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier (golden-ratio mix)
 
 
 def _token_hash(token: str) -> np.uint64:
     """md5-derived 64-bit token hash, memoized per worker — vocabulary is
-    Zipfian, so the cache hit rate is near 1 after the first batches."""
+    Zipfian, so the hit rate stays near 1; the cache is CAPPED (clear-on-full)
+    because the long tail (urls, hex ids) is unbounded at corpus scale and a
+    long-lived Python worker must not grow without limit."""
     h = _TOKEN_HASH_CACHE.get(token)
     if h is None:
+        if len(_TOKEN_HASH_CACHE) >= _TOKEN_CACHE_CAP:
+            _TOKEN_HASH_CACHE.clear()  # Zipf head refills within one batch
         h = struct.unpack(
             "<Q", hashlib.md5(token.encode("utf-8")).digest()[:8])[0]
         _TOKEN_HASH_CACHE[token] = h

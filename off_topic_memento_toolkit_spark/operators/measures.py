@@ -377,9 +377,12 @@ def with_error_kinds(
         cols = ["urim", "error_msg"] + (
             ["urit"] if "urit" in memento_access.columns else [])
         ma = memento_access.select(*cols).distinct()
+        # re-distinct AFTER dropping urit, else one urim under two urits
+        # would fan out every score row for it through the join
+        ma_join = ma.select(
+            "urim", F.col("error_msg").alias("_ma_msg")).distinct()
         df = (
-            df.join(F.broadcast(ma.select(
-                "urim", F.col("error_msg").alias("_ma_msg"))), "urim", "left")
+            df.join(F.broadcast(ma_join), "urim", "left")
             .withColumn(
                 "error_kind",
                 F.when(F.col("_ma_msg").isNotNull(),

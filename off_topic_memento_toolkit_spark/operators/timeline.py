@@ -80,16 +80,16 @@ def prepare_pages(
     # keeping the measure suite at exactly one shuffle; streams can't
     # repartition mid-plan.
     if not df.isStreaming:
-        # df.rdd forces physical planning and can eagerly fire broadcast
-        # jobs buried in the input plan (e.g. the collection-dir source's
-        # manifest joins) — only probe partition width on join-free inputs;
-        # joined inputs already shuffled, so they're as wide as the session
-        analyzed = df._jdf.queryExecution().analyzed().toString()
-        if "Join" not in analyzed:
-            shuffle_n = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-            if df.rdd.getNumPartitions() < shuffle_n:
-                df = df.repartition(shuffle_n)
+        # the probe (df.rdd) forces physical planning and may eagerly fire
+        # small broadcast jobs buried in the input plan (e.g. the
+        # collection-dir source's manifest joins) — an acceptable one-off
+        # cost, because skipping the probe for joined inputs would leave a
+        # broadcast-joined narrow scan (output partitioning = the 1-partition
+        # file scan) serializing every UDF on one core
+        shuffle_n = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if df.rdd.getNumPartitions() < shuffle_n:
+            df = df.repartition(shuffle_n)
 
     if recompute_text or "text" not in df.columns:
         df = df.withColumn("text", extract_text_udf(F.col("html")))

@@ -115,10 +115,22 @@ def read_timemaps(spark: SparkSession, working_dir: str) -> DataFrame:
 
 def read_reference_collection(spark: SparkSession, working_dir: str) -> dict:
     """The full store → {mementos, timemaps, errors, pages}; ``pages`` is the
-    input_hint shape ready for prepare_pages / detect_off_topic."""
+    input_hint shape ready for prepare_pages / detect_off_topic.
+
+    The errors table carries the memento's ``urit`` when its urim appears in
+    a loaded timemap listing (derived with the same identity convention
+    prepare_pages uses, so error rows nest under the same URI-T as the
+    scored rows) — the reference resolves this via its
+    ``mementos_to_timemaps`` map; unlisted failures keep a NULL urit."""
     mementos = read_mementos(spark, working_dir)
     timemaps = read_timemaps(spark, working_dir)
     errors = read_memento_errors(spark, working_dir)
+    urit_map = timemaps.select(
+        F.col("memento_uri").alias("urim"),
+        F.concat(F.lit("from-warc::timemap::"), F.col("original_uri"))
+         .alias("urit"),
+    ).distinct()
+    errors = errors.join(F.broadcast(urit_map), "urim", "left")
     # orphan mementos (stored but not listed in any loaded timemap) become
     # their own singleton timeline: url falls back to the urim, datetime to
     # the epoch — scoreable, and visibly synthetic

@@ -56,11 +56,14 @@ def scores_to_nested_dict(scores: DataFrame, overall: DataFrame,
     out: dict = {}
     for row in _joined(scores, overall, meta).collect():
         kind = row.error_kind
+        # access-error mementos whose timemap is unknown (not listed in any
+        # loaded timemap) would otherwise nest under a JSON "null" key
+        urit_key = row.urit if row.urit is not None else "unknown-timemap"
         if kind == ERROR_KIND_TIMEMAP_ACCESS:
             # reference: the whole timemap collapses to one access-error entry
-            out[row.urit] = {"access error": str(row.error_msg)}
+            out[urit_key] = {"access error": str(row.error_msg)}
             continue
-        urit_entry = out.setdefault(row.urit, {})
+        urit_entry = out.setdefault(urit_key, {})
         if kind == ERROR_KIND_MEMENTO_ACCESS:
             urit_entry[row.urim] = {"access error": str(row.error_msg)}
             continue

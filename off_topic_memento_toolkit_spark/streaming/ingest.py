@@ -48,18 +48,20 @@ def streaming_near_dup_suppression(enriched: DataFrame) -> DataFrame:
 
 
 def write_signatures_stream(df: DataFrame, out_path: str,
-                            checkpoint_path: str):
+                            checkpoint_path: str, once: bool = True):
     """Append signatures to the checkpoint table; exactly-once via the
-    streaming commit log."""
-    return (
+    streaming commit log.  ``once=True`` drains with availableNow and stops;
+    ``once=False`` tails the source continuously."""
+    writer = (
         df.select("url", "warc_ts", "urim", "urit", "raw_simhash",
                   "tf_simhash", "n_tokens")
         .writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
     )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def streaming_crawl_rates(
