@@ -87,6 +87,65 @@ r AS (
 SELECT url, urim, urit, raw_simhash, n_tokens FROM r WHERE rn = 1"""
 
 
+# ----------------------------------------------- streaming_stateful_dedup
+
+def q_streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming job: readStream → enrichment →
+    applyInPandasWithState sequential D1 dedup → parquet sink (availableNow),
+    read back.  For a single drained batch the stateful kernel's
+    order-of-arrival rule equals the D1 window SQL the oracle runs, so even
+    the custom stateful operator is hash-checked against DuckDB."""
+    import tempfile
+
+    from .operators.timeline import prepare_pages
+    from .streaming.ingest import (
+        build_streaming_enrichment,
+        streaming_sequential_dedup,
+    )
+
+    pages = _pages(spark, sf_dir)
+    enriched = prepare_pages(pages, need_tf_simhash=False)
+    _materialize(
+        enriched.select("url", "warc_ts", "urim", "raw_simhash"),
+        "stateful_pages",
+    )
+    workdir = tempfile.mkdtemp(prefix="otmt_stateful_")
+    pages.write.mode("overwrite").parquet(f"{workdir}/src")
+    stream = build_streaming_enrichment(spark, f"{workdir}/src")
+    query = (
+        streaming_sequential_dedup(stream, threshold=0.2)
+        .writeStream.format("parquet")
+        .option("path", f"{workdir}/out")
+        .option("checkpointLocation", f"{workdir}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(600)
+    return (
+        spark.read.parquet(f"{workdir}/out")
+        .select("url", "urim", "raw_simhash")
+    )
+
+
+SQL_STREAMING_STATEFUL = f"""
+WITH p AS (SELECT * FROM {_mat('stateful_pages')}),
+firstseen AS (
+  SELECT url, urim, warc_ts, raw_simhash FROM (
+    SELECT p.*, row_number() OVER (PARTITION BY url, raw_simhash
+                                   ORDER BY warc_ts, urim) AS occ
+    FROM p
+  ) _f WHERE occ = 1
+),
+lagged AS (
+  SELECT url, urim, raw_simhash,
+         coalesce(lag(raw_simhash) OVER (PARTITION BY url
+                                         ORDER BY warc_ts, urim), 0) AS prev
+  FROM firstseen
+)
+SELECT url, urim, raw_simhash FROM lagged
+WHERE bit_count(xor(raw_simhash, prev)) / 64.0 > 0.2"""
+
+
 # ----------------------------------------------------- minhash_lsh_pairs
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,6 +604,7 @@ SQL_MEASURES_CORE = _sql_measures_core()
 def mat_queries() -> dict:
     return {
         "streaming_dedup_batch": q_streaming_dedup_batch,
+        "streaming_stateful_dedup": q_streaming_stateful_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -558,6 +618,7 @@ def mat_queries() -> dict:
 def mat_oracle_sql() -> dict:
     return {
         "streaming_dedup_batch": SQL_STREAMING_DEDUP,
+        "streaming_stateful_dedup": SQL_STREAMING_STATEFUL,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
         "simhash_hamming_pairs": SQL_SIMHASH_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
