@@ -40,16 +40,25 @@ def cosine_similarity_col(a, b):
     return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
 
 
+def _as_double_vec(col):
+    """array<float> inputs would multiply in float32 inside the fold (1e-6
+    error — enough to flip a 6-decimal rounding boundary vs the double-exact
+    oracle); promote elements before any arithmetic."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
 def cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact brute-force top-k neighbors for each query (broadcast queries)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        _as_double_vec(F.col(vec_col)).alias("_qvec"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_vec(F.col(vec_col)).alias("_cvec"),
     )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "cosine", cosine_similarity_col(F.col("_qvec"), F.col("_cvec"))
@@ -95,10 +104,12 @@ def lsh_cosine_topk(
     Equi-join on the bucket id — a hash join instead of a cross product."""
     srp = make_srp_signature_udf(dim, n_planes)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_vec(F.col(vec_col)).alias("_cvec"),
     ).withColumn("bucket", srp(F.col("_cvec")))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        _as_double_vec(F.col(vec_col)).alias("_qvec"),
     ).withColumn("bucket", srp(F.col("_qvec")))
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine", cosine_similarity_col(F.col("_qvec"), F.col("_cvec"))
@@ -196,11 +207,12 @@ def ivf_cosine_topk(
     assign = make_ivf_assign_udf(centroids)
     probes = make_ivf_probe_udf(centroids, nprobe)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_vec(F.col(vec_col)).alias("_cvec"),
     ).withColumn("bucket", assign(F.col("_cvec")))
     q = (
         queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qvec"))
+                       _as_double_vec(F.col(vec_col)).alias("_qvec"))
         .withColumn("bucket", F.explode(probes(F.col("_qvec"))))
     )
     scored = c.join(F.broadcast(q), "bucket").withColumn(
@@ -228,7 +240,8 @@ def embedding_near_duplicates(
     degenerate bucket (all-zero / boilerplate embeddings) would otherwise
     expand to B²/2 pairs."""
     srp = make_srp_signature_udf(dim, n_planes)
-    sides = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")) \
+    sides = df.select(F.col(id_col).alias("id"),
+                      _as_double_vec(F.col(vec_col)).alias("vec")) \
               .withColumn("bucket", srp(F.col("vec")))
     # spill-safe size gate BEFORE the unspillable collect_list (see lsh.py)
     counted = sides.withColumn(

@@ -249,6 +249,77 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
 
 
+# --------------------------------------------------- verified_dup_pairs
+
+def q_verified_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify stage in isolation: exact token-set Jaccard over the LSH
+    candidates.  Materializes the candidates and the (id, tokens) payloads;
+    the oracle recomputes the Jaccard similarity relationally."""
+    from .operators.lsh import minhash_candidate_pairs
+    from .operators.timeline import prepare_pages
+    from .operators.verify import verified_pairs_jaccard
+
+    docs = prepare_pages(_pages(spark, sf_dir),
+                         need_raw_simhash=False, need_tf_simhash=False)
+    docs = docs.select(F.col("urim").alias("id"), "tokens")
+    candidates = minhash_candidate_pairs(docs, id_col="id",
+                                         tokens_col="tokens")
+    candidates = _materialize(candidates, "verify_candidates")
+    _materialize(docs, "verify_docs")
+    verified = verified_pairs_jaccard(candidates, docs, id_col="id",
+                                      tokens_col="tokens", min_jaccard=0.8)
+    return verified.withColumn("jaccard_sim", F.round("jaccard_sim", 6))
+
+
+SQL_VERIFIED_PAIRS = f"""
+WITH c AS (SELECT id_a, id_b FROM {_mat('verify_candidates')}),
+d AS (SELECT id, tokens FROM {_mat('verify_docs')}),
+j AS (
+  SELECT c.id_a AS id_a, c.id_b AS id_b,
+         len(list_intersect(list_distinct(a.tokens), list_distinct(b.tokens)))
+           * 1.0
+           / len(list_distinct(list_cat(a.tokens, b.tokens))) AS sim
+  FROM c JOIN d a ON c.id_a = a.id JOIN d b ON c.id_b = b.id
+)
+SELECT id_a, id_b, round(sim, 6) AS jaccard_sim FROM j WHERE sim >= 0.8"""
+
+
+# ------------------------------------------------- embedding_near_dups
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup channel over SRP buckets; threshold 0.3
+    because the synthetic embeddings top out near cosine 0.51 — the point is
+    hash-checking the bucketed-pair semantics, not the cutoff."""
+    from .operators.ann import embedding_near_duplicates, make_srp_signature_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srp = make_srp_signature_udf(dim=64, n_planes=6)
+    _materialize(
+        emb.select("vec_id", srp(F.col("embedding")).alias("bucket")),
+        "ndup_buckets",
+    )
+    pairs = embedding_near_duplicates(emb, threshold=0.3, dim=64, n_planes=6)
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH b AS (SELECT vec_id, bucket FROM {_mat('ndup_buckets')}),
+ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) BETWEEN 2 AND 64),
+m AS (
+  SELECT e.vec_id AS vec_id, e.embedding::DOUBLE[] AS v, b.bucket AS bucket
+  FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+  JOIN ok o ON b.bucket = o.bucket
+),
+pairs AS (
+  SELECT least(x.vec_id, y.vec_id) AS id_a,
+         greatest(x.vec_id, y.vec_id) AS id_b,
+         list_cosine_similarity(x.v, y.v) AS cos
+  FROM m x JOIN m y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT DISTINCT id_a, id_b, round(cos, 6) AS cosine
+FROM pairs WHERE cos >= 0.3"""
+
+
 # --------------------------------------------------------- ann_ivf_topk
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,6 +680,8 @@ def mat_queries() -> dict:
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "verified_dup_pairs": q_verified_dup_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "curation_story": q_curation_story,
         "offtopic_measures_core": q_offtopic_measures_core,
@@ -623,6 +696,8 @@ def mat_oracle_sql() -> dict:
         "simhash_hamming_pairs": SQL_SIMHASH_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+        "verified_dup_pairs": SQL_VERIFIED_PAIRS,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "dedup_clusters_cc": SQL_DEDUP_CC,
         "curation_story": SQL_CURATION_STORY,
         "offtopic_measures_core": SQL_MEASURES_CORE,
