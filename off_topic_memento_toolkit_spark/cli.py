@@ -93,6 +93,14 @@ def main(argv=None):
     story.add_argument("-i", "--input", required=True)
     story.add_argument("-o", "--output", required=True)
 
+    stats = sub.add_parser(
+        "stats", help="training-data text screens: language-ID, quality "
+                      "features, token counts, fingerprints")
+    stats.add_argument("-i", "--input", required=True)
+    stats.add_argument("-o", "--output", required=True)
+    stats.add_argument("--quality-only", action="store_true",
+                       help="emit only rows passing the quality screens")
+
     stream = sub.add_parser(
         "stream", help="structured-streaming ingest over a pages directory")
     stream.add_argument("-i", "--input", required=True,
@@ -151,6 +159,30 @@ def main(argv=None):
             verify_method=args.verify_method,
         )
         clusters.write.mode("overwrite").parquet(args.output)
+
+    elif args.command == "stats":
+        from pyspark.sql import functions as F
+
+        from .operators.textstats import (
+            exact_duplicates,
+            fingerprint,
+            language_id,
+            quality_features,
+            token_counts,
+        )
+        from .operators.timeline import prepare_pages
+
+        pages, _ = _read_pages(spark, args.input)
+        enriched = prepare_pages(pages, need_raw_simhash=False,
+                                 need_tf_simhash=False)
+        docs = enriched.select("urim", "url", "warc_ts", "text")
+        annotated = exact_duplicates(
+            fingerprint(token_counts(quality_features(language_id(docs)))),
+            order_col="urim",
+        )
+        if args.quality_only:
+            annotated = annotated.filter(F.col("quality_ok"))
+        annotated.drop("text").write.mode("overwrite").parquet(args.output)
 
     elif args.command == "stream":
         from .streaming.ingest import (
