@@ -53,6 +53,8 @@ def main():
         "ann_lsh_topk": mat["ann_lsh_topk"],
         "ann_ivf_topk": mat["ann_ivf_topk"],
         "streaming_dedup_batch": mat["streaming_dedup_batch"],
+        "verified_dup_pairs": mat["verified_dup_pairs"],
+        "embedding_near_dups": mat["embedding_near_dups"],
         "tpch_pricing_summary": make_sql_query("tpch_pricing_summary"),
     }
     notes = {
@@ -73,6 +75,10 @@ def main():
         "ann_lsh_topk": "SRP bucket equi-join, queries broadcast.",
         "ann_ivf_topk": "nprobe bucket equi-join, queries broadcast.",
         "streaming_dedup_batch": "url+simhash first-occurrence window.",
+        "verified_dup_pairs": (
+            "LSH candidates -> Arrow Jaccard verify on pair payload joins."),
+        "embedding_near_dups": (
+            "SRP buckets, spill-safe size gate, collect+expand, no self-join."),
         "tpch_pricing_summary": "scan→partial agg→exchange→final agg.",
     }
 
