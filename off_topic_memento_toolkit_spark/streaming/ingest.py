@@ -112,8 +112,13 @@ def streaming_sequential_dedup(
     batch path (LSH + CC) is the exhaustive channel.
 
     Parity note: D1 is an order-of-arrival rule; exact batch equivalence
-    holds when rows arrive per-url in (warc_ts, urim) order (each micro-batch
-    is sorted internally)."""
+    holds when rows arrive per-url in (warc_ts, urim) order.  A url group is
+    delivered as MULTIPLE Arrow chunks when it exceeds
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k), and the
+    chunks carry no ordering guarantee — so the whole micro-batch group is
+    buffered and sorted ONCE before the sequential scan.  Memory bound =
+    one url's rows within one micro-batch (4 narrow columns), the same bound
+    the state itself already implies."""
     import pandas as pd
 
     columns = ["url", "warc_ts", "urim", "raw_simhash"]
@@ -122,7 +127,9 @@ def streaming_sequential_dedup(
         prev, seen_list = state.get if state.exists else (0, [])
         seen = set(int(h) for h in seen_list)
         out = []
-        for pdf in pdf_iter:
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["warc_ts", "urim"], kind="mergesort")
             for row in pdf.itertuples(index=False):
                 h = int(row.raw_simhash)

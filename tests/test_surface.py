@@ -378,6 +378,54 @@ def test_streaming_stateful_sequential_dedup(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_stateful_dedup_multi_chunk_group(spark, tmp_path):
+    """A url group larger than arrow.maxRecordsPerBatch spans multiple Arrow
+    chunks inside one micro-batch; D1 is an order-of-arrival rule, so the
+    operator must sort the WHOLE group once, not each chunk independently.
+    Shrinks the chunk size to 7, feeds one 60-row url in shuffled file order,
+    and asserts parity with the batch D1 operator."""
+    from off_topic_memento_toolkit_spark.operators.curation import (
+        exclude_duplicates,
+    )
+    from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
+    from off_topic_memento_toolkit_spark.sources.datagen import generate_pages
+    from off_topic_memento_toolkit_spark.streaming.ingest import (
+        build_streaming_enrichment,
+        streaming_sequential_dedup,
+    )
+
+    pages = generate_pages(spark, n_urls=1, mementos_per_url=60, skew=False,
+                           error_rows=False, dup_rate=0.5)
+    # Write in a shuffled deterministic order so chunk-local sorting would
+    # yield a different D1 sequence than the correct global sort.
+    shuffled = pages.orderBy(F.xxhash64("url", "warc_ts")).coalesce(1)
+    src = str(tmp_path / "src")
+    shuffled.write.parquet(src)
+
+    old_cap = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = build_streaming_enrichment(spark, src)
+        deduped = streaming_sequential_dedup(stream, threshold=0.2)
+        out_path = str(tmp_path / "out")
+        q = (deduped.writeStream.format("parquet")
+             .option("path", out_path)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {r.urim for r in spark.read.parquet(out_path).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_cap)
+
+    enriched = prepare_pages(pages, need_tf_simhash=False)
+    meta = enriched.select(
+        F.col("url").alias("urit"), "urim",
+        F.col("raw_simhash").alias("simhash"),
+        F.col("warc_ts").alias("memento_datetime"))
+    want = {r.urim for r in exclude_duplicates(meta, threshold=0.2).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_reference_collection_dir_source(spark, tmp_path):
     """Interop: load the REFERENCE's own test_loaddata fixture (the on-disk
     store otmt/collectionmodel.py:143-234 writes) into engine tables."""
