@@ -8,10 +8,22 @@ to cut lineage (north_rule).  Convergence = the edge multiset stops changing
 (checked with a cheap order-insensitive checksum + count, not a full
 ``except``).  Node ids must be orderable (long or string); labels are the
 component-minimum node id, so results are canonical and deterministic.
+
+The loop's shuffle width is sized from the live edge count and applied with
+explicit ``repartition(n, keys)`` on the loop frames — NOT by mutating
+``spark.sql.shuffle.partitions``, which is session-global and would leak the
+loop's (usually tiny) width into any query planned concurrently on the same
+session.  The repartition keys equal the downstream grouping keys, so each
+explicit exchange REPLACES the one Catalyst would have inserted rather than
+adding a second.
 """
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _repart(df: DataFrame, n, *cols) -> DataFrame:
+    return df.repartition(n, *cols) if n else df
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
@@ -20,41 +32,44 @@ def _symmetric(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, n=None) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to the minimum
     of N(u) ∪ {u}."""
-    und = _symmetric(edges)
+    und = _repart(_symmetric(edges), n, "src")
     mins = und.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
-    return (
+    out = (
         und.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
+    return _repart(out, n, "src", "dst").distinct()
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n=None) -> DataFrame:
     """For each node u over its ≤-neighbors: connect them (and u) to the
     minimum of that set."""
     # orient edges so dst <= src
-    oriented = edges.select(
-        F.greatest("src", "dst").alias("src"),
-        F.least("src", "dst").alias("dst"),
+    oriented = _repart(
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ),
+        n, "src",
     )
     mins = oriented.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
     joined = oriented.join(mins, "src")
     neighbor_edges = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    self_edges = joined.select("src", F.col("m").alias("dst")).distinct()
-    return (
+    self_edges = joined.select("src", F.col("m").alias("dst"))
+    out = (
         neighbor_edges.union(self_edges)
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
+    return _repart(out, n, "src", "dst").distinct()
 
 
 def _checksum(edges: DataFrame):
@@ -93,23 +108,20 @@ def connected_components(
     loop_partitions = max(1, min(int(conf_shuffle),
                                  previous_sig[0] // 1_000_000 + 1))
 
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-        for iteration in range(max_iterations):
-            stepped = _small_star(_large_star(current))
-            if checkpoint_dir_writer is not None:
-                stepped = checkpoint_dir_writer(stepped, iteration)
-            else:
-                # lazy: the convergence checksum right below materializes the
-                # checkpoint — one job per iteration instead of two
-                stepped = stepped.localCheckpoint(eager=False)
-            signature = _checksum(stepped)
-            current = stepped
-            if signature == previous_sig:
-                break
-            previous_sig = signature
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", conf_shuffle)
+    for iteration in range(max_iterations):
+        stepped = _small_star(_large_star(current, loop_partitions),
+                              loop_partitions)
+        if checkpoint_dir_writer is not None:
+            stepped = checkpoint_dir_writer(stepped, iteration)
+        else:
+            # lazy: the convergence checksum right below materializes the
+            # checkpoint — one job per iteration instead of two
+            stepped = stepped.localCheckpoint(eager=False)
+        signature = _checksum(stepped)
+        current = stepped
+        if signature == previous_sig:
+            break
+        previous_sig = signature
 
     und = _symmetric(current)
     labels = und.groupBy("src").agg(

@@ -68,6 +68,33 @@ def test_connected_components_random_graphs(spark, seed):
     assert touched == set(labels)
 
 
+def test_connected_components_leaves_session_conf_alone(spark):
+    """The CC loop must not mutate spark.sql.shuffle.partitions: a concurrent
+    query planned mid-loop would silently inherit the loop's tiny width.
+    Hook the per-iteration writer to observe the conf and plan a concurrent
+    aggregation DURING the loop."""
+    conf_before = spark.conf.get("spark.sql.shuffle.partitions")
+    seen_confs = []
+    concurrent_widths = []
+
+    def spying_writer(df, iteration):
+        seen_confs.append(spark.conf.get("spark.sql.shuffle.partitions"))
+        other = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+        plan = other._jdf.queryExecution().executedPlan().toString()
+        concurrent_widths.append(plan)
+        assert other.count() == 7
+        return df.localCheckpoint()
+
+    edges = [(i, i + 1) for i in range(0, 31)]
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    labels = {r.id: r.component
+              for r in connected_components(
+                  edges_df, checkpoint_dir_writer=spying_writer).collect()}
+    assert set(labels.values()) == {0}
+    assert seen_confs and all(c == conf_before for c in seen_confs)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == conf_before
+
+
 def test_connected_components_chain(spark):
     # worst-case diameter: a long path — large/small-star converges in O(log n)
     edges = [(i, i + 1) for i in range(0, 63)]
