@@ -127,17 +127,29 @@ def lsh_cosine_topk(
 def train_ivf_centroids(
     corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
     vec_col: str = "embedding", max_train: int = 16384, seed: int = 7,
-    iters: int = 10,
+    iters: int = 10, id_col: str = "vec_id",
 ):
-    """Deterministic k-means centroids from a bounded sample.
+    """Deterministic k-means centroids from a bounded cross-partition sample.
 
     Scale shape: the TRAINING set is a capped sample collected once to the
     driver (at 10^12 vectors you train on ~10^5-10^6 sampled rows — k-means
     quality saturates long before that); assignment/search stay distributed.
+
+    Sampling = ``ORDER BY xxhash64(id) LIMIT max_train``: a pseudo-random
+    but fully deterministic draw that (a) touches EVERY partition — a bare
+    ``limit()`` pulls whole first partitions, and at 100 TB one file's
+    vectors are spatially/temporally correlated, so centroids would tile a
+    corner of the space and nprobe recall would collapse elsewhere — and
+    (b) is stable across partition layouts and re-runs (hash of the row id,
+    not of the plan).  Physically this is TakeOrderedAndProject: per-partition
+    partial top-n, one driver merge — no global sort shuffle.
+
     Plain Lloyd iterations with seeded init; cosine geometry via l2-normalized
     vectors so argmax-dot == argmax-cosine."""
     sample = [list(r[0]) for r in
-              corpus.select(vec_col).limit(max_train).collect()]
+              corpus.select(F.col(vec_col), F.col(id_col))
+              .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+              .limit(max_train).collect()]
     X = np.asarray(sample, dtype=np.float64)
     if dim is not None and X.ndim == 2 and X.shape[1] != dim:
         raise ValueError(
@@ -228,6 +240,35 @@ def ivf_cosine_topk(
     )
 
 
+def embedding_bucket_table(
+    df: DataFrame, dim: int = 64, n_planes: int = 12,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, bucket) — the SRP bucket assignment used by the embedding
+    near-dup channel; exposed so callers can run observability queries
+    (:func:`embedding_dropped_bucket_stats`) on the same assignment."""
+    srp = make_srp_signature_udf(dim, n_planes)
+    return df.select(F.col(id_col).alias("id"),
+                     _as_double_vec(F.col(vec_col)).alias("vec")) \
+             .withColumn("bucket", srp(F.col("vec")))
+
+
+def embedding_dropped_bucket_stats(
+    bucketed: DataFrame, max_bucket_size: int = 64,
+) -> DataFrame:
+    """Observability for the hot-bucket cap (mirror of
+    lsh.dropped_bucket_stats): how many SRP buckets/rows the near-dup pass
+    excluded — the cap must never be a silent recall loss."""
+    return (
+        bucketed.groupBy("bucket").count()
+        .filter(F.col("count") > max_bucket_size)
+        .agg(
+            F.count("*").alias("dropped_buckets"),
+            F.coalesce(F.sum("count"), F.lit(0)).alias("dropped_rows"),
+        )
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     n_planes: int = 12, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -238,11 +279,9 @@ def embedding_near_duplicates(
     Same one-shuffle collect_list+expand shape as lsh.py (no self-join, so the
     SRP UDF lineage evaluates ONCE) and the same hot-bucket cap: one
     degenerate bucket (all-zero / boilerplate embeddings) would otherwise
-    expand to B²/2 pairs."""
-    srp = make_srp_signature_udf(dim, n_planes)
-    sides = df.select(F.col(id_col).alias("id"),
-                      _as_double_vec(F.col(vec_col)).alias("vec")) \
-              .withColumn("bucket", srp(F.col("vec")))
+    expand to B²/2 pairs.  Exclusions are observable via
+    :func:`embedding_dropped_bucket_stats` over the same bucket table."""
+    sides = embedding_bucket_table(df, dim, n_planes, id_col, vec_col)
     # spill-safe size gate BEFORE the unspillable collect_list (see lsh.py)
     counted = sides.withColumn(
         "_n", F.count("*").over(Window.partitionBy("bucket")))

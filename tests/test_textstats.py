@@ -116,6 +116,55 @@ def test_embedding_near_duplicates_hot_bucket_capped(spark):
         df.limit(10), threshold=0.9, dim=4, n_planes=4, max_bucket_size=32)
     assert relaxed.count() == 45  # 10 choose 2 — under the cap, all pairs kept
 
+    # the cap is observable, not a silent recall loss
+    from off_topic_memento_toolkit_spark.operators.ann import (
+        embedding_bucket_table,
+        embedding_dropped_bucket_stats,
+    )
+    bucketed = embedding_bucket_table(df, dim=4, n_planes=4)
+    stats = embedding_dropped_bucket_stats(bucketed, max_bucket_size=32).collect()[0]
+    assert stats.dropped_buckets == 1 and stats.dropped_rows == 200
+
+
+def test_ivf_training_sample_spans_partitions(spark):
+    """The k-means training draw must be a cross-partition hash sample, not a
+    first-partition limit(): lay the corpus out so partition 0 holds only
+    degenerate duplicate vectors and assert the trained centroids still see
+    the rest of the space — and that the draw is identical under a different
+    partition layout."""
+    import math
+
+    import numpy as np
+
+    from off_topic_memento_toolkit_spark.operators.ann import (
+        train_ivf_centroids,
+    )
+
+    rows = []
+    for i in range(400):
+        if i < 200:  # ids 0..199: one degenerate direction
+            vec = [1.0, 0.0, 0.0, 0.0]
+        else:  # ids 200..399: spread over the circle
+            angle = (i % 16) / 16 * math.pi
+            vec = [math.cos(angle), math.sin(angle), 0.0, 0.0]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # range-partition so low ids (the degenerate block) fill partition 0
+    clustered = df.repartitionByRange(4, "vec_id")
+    cents = train_ivf_centroids(clustered, n_centroids=8, dim=4,
+                                max_train=64, seed=7)
+    # limit(64) on this layout would train on 64 copies of [1,0,0,0] → all
+    # centroids collapse onto one direction; the hash sample must not
+    distinct_dirs = {tuple(np.round(c, 3)) for c in cents}
+    assert len(distinct_dirs) >= 4
+
+    # layout-independence: same draw under a shuffled layout
+    reshuffled = df.repartition(7, "embedding")
+    cents2 = train_ivf_centroids(reshuffled, n_centroids=8, dim=4,
+                                 max_train=64, seed=7)
+    assert np.allclose(cents, cents2)
+
 
 def test_ivf_topk_recall(spark, embeddings):
     from off_topic_memento_toolkit_spark.operators.ann import (
