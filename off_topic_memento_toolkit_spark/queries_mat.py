@@ -28,7 +28,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MAT_ROOT = "/tmp/otmt_oracle_mat"
+# Env-overridable so concurrent runs (check_oracle + plan_audit, two
+# sessions) can isolate their intermediates: the writer and the DuckDB
+# oracle may live in DIFFERENT processes, so the default must stay a stable
+# path — isolation is opt-in via OTMT_MAT_ROOT, not an automatic pid suffix
+# (a pid-suffixed default would bake a dead path into oracle SQL rendered by
+# a process that never ran the queries).
+MAT_ROOT = os.environ.get("OTMT_MAT_ROOT", "/tmp/otmt_oracle_mat")
 
 
 def materialization_enabled() -> bool:
@@ -95,7 +101,7 @@ def q_streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back.  For a single drained batch the stateful kernel's
     order-of-arrival rule equals the D1 window SQL the oracle runs, so even
     the custom stateful operator is hash-checked against DuckDB."""
-    import tempfile
+    import shutil
 
     from .operators.timeline import prepare_pages
     from .streaming.ingest import (
@@ -109,7 +115,12 @@ def q_streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched.select("url", "warc_ts", "urim", "raw_simhash"),
         "stateful_pages",
     )
-    workdir = tempfile.mkdtemp(prefix="otmt_stateful_")
+    # fixed per-MAT_ROOT workdir, wiped up front: mkdtemp leaked one dir per
+    # run, and reusing a streaming checkpoint over overwritten input would
+    # append old+new sink files (the commit log tracks file names, and
+    # parquet part files get fresh uuids on every overwrite)
+    workdir = f"{MAT_ROOT}/stateful_work"
+    shutil.rmtree(workdir, ignore_errors=True)
     pages.write.mode("overwrite").parquet(f"{workdir}/src")
     stream = build_streaming_enrichment(spark, f"{workdir}/src")
     query = (
