@@ -46,23 +46,40 @@ def parse_measures(spec: str):
 
 
 def _read_pages(spark: SparkSession, spec: str):
-    """pages:<parquet> or collection:<reference working dir>; returns
+    """pages:<parquet>, warc:<glob of .warc/.warc.gz>, or
+    collection:<reference working dir>; returns
     (pages, memento_access_errors_or_None)."""
     kind, _, path = spec.partition(":")
     if kind == "pages":
         return spark.read.parquet(path), None
+    if kind == "warc":
+        # the reference's flagship input (bin/detect_off_topic -i warc=...,
+        # otmt/input_types.py:655-678); text is derived from html downstream
+        # by prepare_pages' extract_text, exactly the reference's lazy
+        # justext derive (otmt/collectionmodel.py:440-469)
+        from pyspark.sql import functions as F
+
+        from .sources.warc import read_warc_pages
+
+        # lang is an input column per input_hint (SURVEY M3: langdetect is
+        # seeded-random, parity not required) — null when ingesting raw WARC
+        return read_warc_pages(spark, path).select(
+            "url", "warc_ts", "html",
+            F.lit(None).cast("string").alias("lang")), None
     if kind == "collection":
         from .sources.collection_dir import read_reference_collection
 
         store = read_reference_collection(spark, path)
         return store["pages"], store["errors"]
-    raise SystemExit("input spec must be pages:<parquet path> or "
+    raise SystemExit("input spec must be pages:<parquet path>, "
+                     "warc:<warc glob>, or "
                      "collection:<reference working directory> "
-                     "(WARC/Archive-It acquisition is an ingest job, "
-                     "out of scope per SURVEY S4-S6)")
+                     "(network acquisition is out of scope per SURVEY S4-S6)")
 
 
-def main(argv=None):
+def main(argv=None, spark=None):
+    """``spark=None`` creates (and stops) its own session — the spark-submit
+    path; tests pass their shared session, which is left running."""
     parser = argparse.ArgumentParser(prog="otmt-spark")
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -115,7 +132,9 @@ def main(argv=None):
                         help="availableNow trigger (drain and stop)")
 
     args = parser.parse_args(argv)
-    spark = get_spark(f"otmt-spark-{args.command}")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(f"otmt-spark-{args.command}")
 
     if args.command == "detect":
         measures, thresholds = parse_measures(args.timemap_measures)
@@ -209,7 +228,8 @@ def main(argv=None):
             query = write_signatures_stream(enriched, args.output,
                                             args.checkpoint, once=args.once)
             query.awaitTermination()
-            spark.stop()
+            if owns_session:
+                spark.stop()
             return
         writer = (out.writeStream.format("parquet")
                   .option("path", args.output)
@@ -226,7 +246,8 @@ def main(argv=None):
         story_pipeline(memento_metadata(pages)) \
             .write.mode("overwrite").parquet(args.output)
 
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

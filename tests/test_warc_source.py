@@ -64,6 +64,51 @@ def test_warc_spark_reader(spark, tmp_path):
     assert all(r.warc_ts is not None for r in rows)
 
 
+def test_cli_detect_from_warc_end_to_end(spark, tmp_path):
+    """The reference's flagship invocation is `detect_off_topic -i warc=...`
+    (bin/detect_off_topic:198-200): the CLI must run end-to-end from WARC
+    files on disk — scan → extract_text → measures → thresholds → CSV."""
+    import csv
+
+    from off_topic_memento_toolkit_spark.cli import main
+
+    def page(words):
+        body = " ".join(words)
+        return f"<html><body><p>{body}</p></body></html>".encode()
+
+    on_topic = ["alpha", "beta", "gamma", "delta", "epsilon"] * 8
+    raw = (
+        _record("response", "http://a.example/", "2016-01-21T15:45:06Z",
+                page(on_topic))
+        + _record("response", "http://a.example/", "2016-02-21T15:45:06Z",
+                  page(on_topic + ["zeta"] * 4))
+        + _record("response", "http://a.example/", "2016-03-21T15:45:06Z",
+                  page(["spam"]))  # collapsed page → off-topic by wordcount
+        + _record("response", "http://b.example/x", "2017-03-01T00:00:00Z",
+                  page(["lorem", "ipsum", "dolor"] * 10))
+    )
+    (tmp_path / "crawl.warc.gz").write_bytes(gzip.compress(raw))
+    out = str(tmp_path / "scores.csv")
+
+    main(["detect", "-i", f"warc:{tmp_path}/*.warc.gz", "-o", out,
+          "-ot", "csv", "-tm", "wordcount,bytecount"], spark=spark)
+
+    with open(out) as fh:
+        rows = list(csv.DictReader(fh))
+    assert {r["URI-T"] for r in rows} == {
+        "from-warc::timemap::http://a.example/",
+        "from-warc::timemap::http://b.example/x"}
+    by_urim = {}
+    for r in rows:
+        if r["Measurement Type"] == "timemap measures":
+            by_urim.setdefault(r["URI-M"], {})[r["Measurement Name"]] = r
+    collapsed = by_urim["from-warc::20160321154506::http://a.example/"]
+    assert collapsed["wordcount"]["Topic Status"] == "off-topic"
+    assert collapsed["wordcount"]["Overall Topic Status"] == "off-topic"
+    first = by_urim["from-warc::20160121154506::http://a.example/"]
+    assert first["wordcount"]["Topic Status"] == "on-topic"
+
+
 @pytest.mark.skipif(not os.path.exists(REFERENCE_WARC),
                     reason="reference fixture not present")
 def test_reference_fixture_warc():
