@@ -7,7 +7,8 @@ semantics the reference relies on (otmt/collectionmodel.py:456-466):
 - a paragraph boundary at every block-level tag (open AND close) and at
   <br><br>;
 - whitespace runs containing CR/LF collapse to "\\n", other runs (incl.
-  NBSP) to " "; paragraphs are stripped; empty paragraphs dropped;
+  NBSP) to " "; paragraphs are stripped; a paragraph is emitted whenever it
+  holds text nodes, even if its normalized text is "" (bare newline);
 - output = "".join(paragraph + "\\n");
 - empty/whitespace-only/None documents raise (the reference converts lxml's
   ParserError('Document is empty') into its boilerplate exception).
@@ -59,7 +60,10 @@ CASES = [
     ("<p>para one<br><br>para two</p>", "para one\npara two\n"),
     ("<p>para one<br> \n <br>para two</p>", "para one\npara two\n"),
     ("<p>end<br></p>", "end\n"),
-    ("<br><br>", ""),
+    # a paragraph holding only the <br> space node IS emitted (justext's
+    # contains_text() checks nodes, not normalized text) → bare newline,
+    # exactly what the reference's "{}\n".format(p.text) loop writes
+    ("<br><br>", "\n"),
     # --- whitespace normalization ---
     ("<p>a\r\nb</p>", "a\nb\n"),                     # CRLF run → newline
     ("<p>multi\n\nline</p>", "multi\nline\n"),
