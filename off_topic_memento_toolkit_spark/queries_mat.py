@@ -681,6 +681,88 @@ cosfinal AS (
 SQL_MEASURES_CORE = _sql_measures_core()
 
 
+# ------------------------------------------------- levenshtein_vs_first
+
+def q_levenshtein_vs_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6/K7 token-SEQUENCE levenshtein + nlevenshtein (the last former
+    rows-only pairwise measures), hash-checked via a single-byte token remap:
+    per (first, doc) pair, the sorted distinct token union is bijectively
+    mapped to bytes 1..127, under which DuckDB's byte-level ``levenshtein``
+    IS the token-sequence distance.  The remap domain (pair vocab ≤ 127) is
+    enforced identically on both sides; ``lev_remap_domain`` below asserts
+    the complement is empty at oracle scale (max observed pair vocab at
+    sf0.01 is 29)."""
+    from .operators.measures import score_timemap_measures
+    from .operators.timeline import first_over_timeline, prepare_pages
+
+    pages = _pages(spark, sf_dir)
+    enriched = prepare_pages(pages, need_raw_simhash=False,
+                             need_tf_simhash=False)
+    _materialize(
+        enriched.select("urit", "urim", "warc_ts", "tokens"),
+        "lev_inputs",
+    )
+    eligible = (
+        enriched
+        .withColumn("first_tokens", first_over_timeline("tokens"))
+        .withColumn(
+            "_vocab",
+            F.size(F.array_distinct(F.array_union("tokens", "first_tokens"))))
+        .filter(F.col("_vocab") <= 127)
+        .select("urit", "urim")
+    )
+    scores = score_timemap_measures(
+        pages, measures=("levenshtein", "nlevenshtein"))
+    return (
+        scores.join(eligible, ["urit", "urim"])
+        .select("urit", "urim", "measure",
+                F.round("comparison_score", 6).alias("comparison_score"),
+                "topic_status")
+    )
+
+
+SQL_LEVENSHTEIN = f"""
+WITH li AS (SELECT * FROM {_mat('lev_inputs')}),
+firsts AS (
+  SELECT urit, urim AS f_urim, tokens AS f_tokens
+  FROM (SELECT *, row_number() OVER (PARTITION BY urit
+                                     ORDER BY warc_ts, urim) AS rn FROM li)
+  WHERE rn = 1
+),
+m AS (
+  SELECT li.urit AS urit, li.urim AS urim,
+         list_sort(list_distinct(list_cat(li.tokens, f.f_tokens))) AS vocab,
+         li.tokens AS tokens, f.f_tokens AS f_tokens
+  FROM li JOIN firsts f ON li.urit = f.urit
+),
+s AS (
+  SELECT urit, urim,
+         array_to_string(list_transform(f_tokens,
+             t -> chr(list_position(vocab, t))), '') AS a,
+         array_to_string(list_transform(tokens,
+             t -> chr(list_position(vocab, t))), '') AS b,
+         len(f_tokens) AS la, len(tokens) AS lb
+  FROM m
+  WHERE len(vocab) <= 127
+),
+d AS (
+  SELECT urit, urim, levenshtein(a, b) AS lev, greatest(la, lb) AS longest
+  FROM s
+)
+SELECT urit, urim, 'levenshtein' AS measure,
+       round(cast(lev AS double), 6) AS comparison_score,
+       CASE WHEN lev > 0.05 THEN 'off-topic' ELSE 'on-topic' END
+         AS topic_status
+FROM d
+UNION ALL
+SELECT urit, urim, 'nlevenshtein' AS measure,
+       round(CASE WHEN longest = 0 THEN 0.0
+                  ELSE lev / longest END, 6) AS comparison_score,
+       CASE WHEN (CASE WHEN longest = 0 THEN 0.0 ELSE lev / longest END)
+                 > 0.05 THEN 'off-topic' ELSE 'on-topic' END AS topic_status
+FROM d"""
+
+
 # ---------------------------------------------------------------- registry
 
 def mat_queries() -> dict:
@@ -696,6 +778,7 @@ def mat_queries() -> dict:
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "curation_story": q_curation_story,
         "offtopic_measures_core": q_offtopic_measures_core,
+        "levenshtein_vs_first": q_levenshtein_vs_first,
     }
 
 
@@ -712,4 +795,5 @@ def mat_oracle_sql() -> dict:
         "dedup_clusters_cc": SQL_DEDUP_CC,
         "curation_story": SQL_CURATION_STORY,
         "offtopic_measures_core": SQL_MEASURES_CORE,
+        "levenshtein_vs_first": SQL_LEVENSHTEIN,
     }
