@@ -145,8 +145,17 @@ def _category_column(host):
     )
 
 
-def quality_score(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """D4 — 0.15*category + 0.45*depth (damage external service ⇒ 0).
+def quality_score(df: DataFrame, url_col: str = "url",
+                  damage_col=None) -> DataFrame:
+    """D4 — ``score = -0.40*damage + 0.15*category + 0.45*depth``
+    (bin/select_high_quality:124-126).
+
+    ``damage_col``: optional Column (or column name) supplying the memento
+    damage rating.  The reference fetches it from an external HTTP service
+    and silently uses 0 when the service is absent
+    (bin/select_high_quality:92-120); callers with a damage table join it on
+    and pass the column here, which exercises the −0.40 weight.  Default
+    None = the service-absent branch (damage 0).
 
     depth = slash count of the original URL past 'http://', after dropping a
     trailing slash and the final character, divided by 10
@@ -162,13 +171,22 @@ def quality_score(df: DataFrame, url_col: str = "url") -> DataFrame:
     depth = (
         F.size(F.split(after_scheme, "/")) - 1
     ) / 10.0
+    if damage_col is None:
+        damage = F.lit(0.0)
+    elif isinstance(damage_col, str):
+        damage = F.coalesce(F.col(damage_col), F.lit(0.0))
+    else:
+        damage = F.coalesce(damage_col, F.lit(0.0))
     return (
         with_cols
         .withColumn("category_score", _category_column(host))
         .withColumn("depth_score", depth)
+        .withColumn("damage_score", damage)
         .withColumn(
             "quality",
-            0.15 * F.col("category_score") + 0.45 * F.col("depth_score"),
+            -0.40 * F.col("damage_score")
+            + 0.15 * F.col("category_score")
+            + 0.45 * F.col("depth_score"),
         )
         .drop("_stripped")
     )

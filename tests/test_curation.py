@@ -6,6 +6,7 @@ import math
 from datetime import datetime, timedelta
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from off_topic_memento_toolkit_spark.operators.curation import (
@@ -130,3 +131,34 @@ def test_quality_and_representatives(spark):
     assert got["u3"].category_score == pytest.approx(0.0)
     top = select_representatives(scored).collect()
     assert len(top) == 1 and top[0].urim == "u1"
+
+
+def test_quality_damage_hook_changes_representative(spark):
+    """D4's −0.40 damage weight (bin/select_high_quality:124-126): a damage
+    source joined onto the frame must be able to flip the D5 pick; absent
+    damage values coalesce to the reference's service-absent default 0."""
+    rows = [
+        ("http://news.example/a/b/c/", "u1", 0, 0),
+        ("http://blog.example/a", "u2", 0, 0),
+        ("http://other.example/x/y", "u3", 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, urim string, slice_id int, cluster_id int")
+    # fake damage service: the previous winner u1 is heavily damaged
+    damage = spark.createDataFrame(
+        [("u1", 0.9)], "urim string, damage double")
+    joined = df.join(F.broadcast(damage), "urim", "left")
+
+    scored = quality_score(joined, damage_col="damage")
+    got = {r.urim: r for r in scored.collect()}
+    assert got["u1"].damage_score == pytest.approx(0.9)
+    assert got["u1"].quality == pytest.approx(
+        -0.40 * 0.9 + 0.15 * 0.7 + 0.45 * 0.3)
+    assert got["u2"].damage_score == 0.0  # null → service-absent default
+
+    top = select_representatives(scored).collect()
+    assert len(top) == 1 and top[0].urim != "u1"
+
+    # damage_col=None stays byte-compatible with the default D4 path
+    undamaged = {r.urim: r.quality for r in quality_score(df).collect()}
+    assert undamaged["u1"] == pytest.approx(0.15 * 0.7 + 0.45 * 0.3)

@@ -126,3 +126,33 @@ def test_levenshtein_np_matches_reference_dp():
     assert levenshtein_np(["a"], []) == 1
     assert levenshtein_np([], ["a", "b"]) == 2
     assert levenshtein_np(["a", "b"], ["a", "b"]) == 0
+
+
+def test_lsi_kernel_analytic_goldens():
+    """K11 beyond the identity-1.0 case: hand-derived fixtures with NO SVD
+    call in the expectation.
+
+    (1) Full rank (k = rank): projecting onto the complete right-singular
+    basis is an isometry of the row space, so LSI cosine == raw count-vector
+    cosine — computable with plain arithmetic.  docs over vocab {a, b}:
+    d0=(2,1), d1=(1,2), d2=(3,0) →
+        sim(d1,d0) = (2+2)/(√5·√5)  = 0.8
+        sim(d2,d0) = 6/(√5·3)       = 2/√5
+    (2) Rank-1 truncation of an all-positive matrix: every projection is a
+    positive scalar multiple of the Perron singular vector → all sims 1.0.
+    """
+    import math
+
+    from off_topic_memento_toolkit_spark.operators.groupkernels import (
+        _lsi_similarity,
+    )
+
+    docs = [["a", "a", "b"], ["a", "b", "b"], ["a", "a", "a"]]
+
+    sims = _lsi_similarity(docs, num_topics=2)
+    assert abs(sims[0] - 1.0) < 1e-9
+    assert abs(sims[1] - 0.8) < 1e-9
+    assert abs(sims[2] - 2.0 / math.sqrt(5.0)) < 1e-9
+
+    sims1 = _lsi_similarity(docs, num_topics=1)
+    assert all(abs(s - 1.0) < 1e-9 for s in sims1)
