@@ -155,6 +155,7 @@ class _ParagraphParser(HTMLParser):
         self.paragraphs = []   # list of normalized paragraph texts ("" ok)
         self._nodes = []       # current paragraph's text nodes
         self._stack = []       # (tag, is_kill_root)
+        self._open = {}        # open-tag counts (O(1) membership for ends)
         self._kill_count = 0   # open kill roots
         self._br = False
 
@@ -169,11 +170,13 @@ class _ParagraphParser(HTMLParser):
     def _push(self, tag):
         kills = tag in _KILL_TAGS or tag == "head"
         self._stack.append((tag, kills))
+        self._open[tag] = self._open.get(tag, 0) + 1
         if kills:
             self._kill_count += 1
 
     def _pop(self):
         tag, kills = self._stack.pop()
+        self._open[tag] -= 1
         if kills:
             self._kill_count -= 1
         elif tag in _PARAGRAPH_TAGS and self._kill_count == 0:
@@ -192,7 +195,7 @@ class _ParagraphParser(HTMLParser):
         """libxml2 recovery: body-content markup ends an unclosed <head>."""
         if tag in _HEAD_ONLY_TAGS:
             return
-        if any(entry == "head" for entry, _ in self._stack):
+        if self._open.get("head", 0):
             while self._stack:
                 if self._pop() == "head":
                     break
@@ -222,7 +225,7 @@ class _ParagraphParser(HTMLParser):
             return
         # libxml2 drops end tags with no matching open element; a matched
         # one closes everything above it (implied ends → boundaries)
-        if any(entry == tag for entry, _ in self._stack):
+        if self._open.get(tag, 0):
             while self._stack:
                 if self._pop() == tag:
                     break
