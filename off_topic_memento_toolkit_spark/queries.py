@@ -531,9 +531,11 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rows_only_queries() -> dict:
     """Only the genuinely non-SQL-expressible remainder stays rows-only: the
-    full 11-measure suite (token-sequence levenshtein + truncated-SVD LSI
-    have no DuckDB rendition).  Its 8 relational measures are hash-checked
-    separately by queries_mat.offtopic_measures_core."""
+    full 12-measure suite (the iterative gensim kernels have no DuckDB
+    rendition).  10 of its 12 measures are hash-checked separately —
+    queries_mat.offtopic_measures_core (8 relational incl. cosine) and
+    queries_mat.q_levenshtein_vs_first (token-seq lev/nlev via the
+    single-byte remap oracle)."""
     from .operators.measures import score_timemap_measures
 
     def q_offtopic_measures_full(spark, sf_dir):

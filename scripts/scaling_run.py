@@ -112,22 +112,63 @@ def run_stage(stage, cpus, sf_dir, replicate):
                        f"\n{out.stderr[-2000:]}")
 
 
+_CHIP_CONTROL = r"""
+import json, time
+from multiprocessing import Pool
+
+def unit(_):
+    import hashlib
+    h = b"x"
+    for i in range(120_000):
+        h = hashlib.md5(h + str(i).encode()).digest()
+    return h[0]
+
+if __name__ == "__main__":
+    import sys
+    workers = int(sys.argv[1])
+    tasks = workers * 4  # identical per-core work at every width
+    with Pool(workers) as pool:
+        pool.map(unit, range(workers))  # warm the pool
+        start = time.time()
+        pool.map(unit, range(tasks))
+        elapsed = time.time() - start
+    print("RESULT " + json.dumps(
+        {"workers": workers, "per_task": elapsed / tasks}))
+"""
+
+
+def run_chip_control(workers):
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as fh:
+        fh.write(_CHIP_CONTROL)
+        path = fh.name
+    out = subprocess.run([sys.executable, path, str(workers)],
+                         capture_output=True, text=True, timeout=600)
+    os.unlink(path)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no chip-control RESULT:\n{out.stderr[-1000:]}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     parser.add_argument("--replicate", type=int, default=32)
-    parser.add_argument("--low", type=int, default=2)
-    parser.add_argument("--high", type=int, default=8)
+    parser.add_argument("--levels", default="2,8,32",
+                        help="comma-separated local[N] widths; consecutive "
+                             "pairs are reported as N→4N points")
     parser.add_argument("--best-of", type=int, default=2,
                         help="runs per (stage, level); best kept "
                              "(ambient-noise control)")
     args = parser.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
 
     results = {}
     n_docs = None
     for stage in ("measures", "dedup"):
-        for cpus in (args.low, args.high):
+        for cpus in levels:
             best = None
             for _ in range(args.best_of):
                 r = run_stage(stage, cpus, args.sf_dir, args.replicate)
@@ -137,28 +178,64 @@ def main():
                 print(f"  {stage}@{cpus}: {r['seconds']}s")
             results[(stage, cpus)] = best
 
-    t_low = results[("measures", args.low)] + results[("dedup", args.low)]
-    t_high = results[("measures", args.high)] + results[("dedup", args.high)]
-    speedup = t_low / t_high
-    factor = args.high / args.low
-    efficiency = speedup / factor
+    totals = {c: results[("measures", c)] + results[("dedup", c)]
+              for c in levels}
+    pairs = []
+    for low, high in zip(levels, levels[1:]):
+        speedup = totals[low] / totals[high]
+        pairs.append({
+            "low": low, "high": high,
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (high / low), 3),
+        })
+
+    # chip control: identical per-core work, zero Spark — measures how much
+    # all-core clock the VM sheds at each width (the engine can't beat it)
+    chip = {c: run_chip_control(c)["per_task"] for c in levels}
+    chip_pairs = {}
+    for low, high in zip(levels, levels[1:]):
+        # per-core unit time = per_task * workers; the low→high ratio is the
+        # clock derating going wider (1.0 = no throttle)
+        chip_pairs[(low, high)] = round(
+            (chip[low] * low) / (chip[high] * high), 3)
+
     report = {
         "n_docs": n_docs,
-        "low_cpus": args.low, "high_cpus": args.high,
-        "measures": {args.low: results[("measures", args.low)],
-                     args.high: results[("measures", args.high)]},
-        "dedup": {args.low: results[("dedup", args.low)],
-                  args.high: results[("dedup", args.high)]},
-        "t_low": round(t_low, 2), "t_high": round(t_high, 2),
-        "docs_per_sec_low": round(n_docs * 2 / t_low, 2),
-        "docs_per_sec_high": round(n_docs * 2 / t_high, 2),
-        "speedup": round(speedup, 3),
-        "efficiency": round(efficiency, 3),
+        "levels": levels,
+        "stage_seconds": {f"{s}@{c}": results[(s, c)]
+                          for s in ("measures", "dedup") for c in levels},
+        "totals": {c: round(t, 2) for c, t in totals.items()},
+        "docs_per_sec": {c: round(n_docs * 2 / t, 2)
+                         for c, t in totals.items()},
+        "pairs": pairs,
+        "chip_control_per_core_ratio": {f"{lo}->{hi}": v for (lo, hi), v
+                                        in chip_pairs.items()},
     }
     print(json.dumps(report, indent=2))
 
-    m_lo, m_hi = report["measures"][args.low], report["measures"][args.high]
-    d_lo, d_hi = report["dedup"][args.low], report["dedup"][args.high]
+    level_hdr = " | ".join(f"local[{c}] (s)" for c in levels)
+    rows = []
+    for label, stage in (("10-measure suite", "measures"),
+                         ("LSH dedup candidates", "dedup")):
+        cells = " | ".join(str(results[(stage, c)]) for c in levels)
+        rows.append(f"| {label} | {cells} |")
+    total_cells = " | ".join(str(report["totals"][c]) for c in levels)
+    rows.append(f"| **total** | {total_cells} |")
+    table = "\n".join(rows)
+
+    pair_lines = []
+    for p in pairs:
+        lo, hi = p["low"], p["high"]
+        chip_eff = chip_pairs[(lo, hi)]
+        pair_lines.append(
+            f"- **local[{lo}] → local[{hi}]**: speedup {p['speedup']}x, "
+            f"efficiency **{p['efficiency']}** "
+            f"(chip control: per-core throughput ratio {chip_eff} — raw "
+            f"multiprocessing with zero Spark at the same widths; the "
+            f"engine cannot exceed it)")
+    dps = " → ".join(f"{report['docs_per_sec'][c]} at local[{c}]"
+                     for c in levels)
+
     with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
         fh.write(f"""# BENCH — throughput & scaling evidence
 
@@ -166,24 +243,24 @@ Workload: the full 10-measure off-topic suite and MinHash-LSH candidate
 generation over {n_docs} synthesized pages ({args.replicate}x perturbed
 copies of the `{args.sf_dir}` documents table). Each (stage, parallelism)
 runs in a fresh process (fresh JVM + Python pool), warmup excluded, identical
-64-input/128-shuffle partition layout at both levels, best of {args.best_of}.
-`local[{args.low}]` vs `local[{args.high}]` is the sandbox proxy for N vs 4N
-executors (driver instruction); it stays inside the VM's physical-parallelism
-envelope (at 32 threads this VM throttles its all-core clock — raw
-multiprocessing with zero Spark measures 0.84 efficiency at 8→32, i.e. the
-chip, not the engine).
+64-input/128-shuffle partition layout at every level, best of {args.best_of}.
+local[N] vs local[4N] is the sandbox proxy for N vs 4N executors (driver
+instruction).
 
-| stage | local[{args.low}] (s) | local[{args.high}] (s) | speedup |
-|---|---|---|---|
-| 10-measure suite | {m_lo} | {m_hi} | {m_lo / m_hi:.2f}x |
-| LSH dedup candidates | {d_lo} | {d_hi} | {d_lo / d_hi:.2f}x |
-| **total** | {report['t_low']} | {report['t_high']} | {report['speedup']}x |
+| stage | {level_hdr} |
+|---|{"---|" * len(levels)}
+{table}
 
-Docs/sec (both stages): {report['docs_per_sec_low']} at local[{args.low}] →
-{report['docs_per_sec_high']} at local[{args.high}].
+Docs/sec (both stages): {dps}.
 
-**Scaling efficiency (speedup / {int(factor)}) = {report['efficiency']}**
-(target ≥ 0.8, BASELINE.json).
+Scaling points (target ≥ 0.8 from N to 4N, BASELINE.json):
+
+{chr(10).join(pair_lines)}
+
+The chip control isolates the VM's all-core clock derating: identical
+per-core work with plain multiprocessing. Where the engine's N→4N
+efficiency tracks the control, the residual is the silicon, not added
+coordination cost in the engine.
 
 Reference baseline: the reference publishes no throughput numbers
 (BASELINE.md); it is a single-process, single-thread Python tool for the
