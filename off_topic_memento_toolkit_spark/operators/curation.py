@@ -59,40 +59,85 @@ def exclude_duplicates(meta: DataFrame, threshold: float = 0.2) -> DataFrame:
     )
 
 
+def with_global_position(df: DataFrame, order_cols,
+                         pos_col: str = "global_position",
+                         num_partitions: int | None = None):
+    """Distributed dense 0-based rank over a UNIQUE total order — the
+    scalable replacement for ``row_number()`` over a single-partition Window.
+
+    Three steps, none of which funnels the data through one task:
+    1. ``repartitionByRange`` on the order key (partition p holds a
+       contiguous key range) + ``sortWithinPartitions``; ``localCheckpoint``
+       pins the layout so the next two jobs share one upstream execution.
+    2. per-partition counts (a cheap agg job) → driver-side prefix offsets
+       (#partitions values, not #rows).
+    3. one Arrow ``mapInPandas`` pass attaching offset[pid] + local index.
+
+    Returns ``(df_with_pos, total_count)``.  The order must be unique
+    (here (memento_datetime, urim) — urim breaks ties), which makes the rank
+    independent of where the range boundaries fall."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {r._pid: r.cnt for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, total = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = total
+        total += counts[pid]
+
+    schema = T.StructType(
+        [f for f in ranged.schema.fields if f.name != "_pid"]
+        + [T.StructField(pos_col, T.LongType())])
+    out_cols = [f.name for f in schema.fields]
+
+    def attach(pdf_iter):
+        position = None  # one mapInPandas task == one partition
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            if position is None:
+                position = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[pos_col] = range(position, position + len(pdf))
+            position += len(pdf)
+            yield pdf[out_cols]
+
+    return ranged.mapInPandas(attach, schema=schema), total
+
+
 def slice_by_datetime(meta: DataFrame) -> DataFrame:
     """D2 — adds ``slice_id``; drops the reference's never-flushed tail.
 
-    Single global sort — correct at collection scale (a 'collection' in the
-    reference is one Archive-It collection, ≤ millions of rows); the 100 TB
-    dedup path does NOT use slices (it uses LSH+CC, see lsh.py/components.py).
-    """
-    # N over the SAME single-partition ordered window as the row index (an
-    # unbounded frame), so both window functions evaluate in ONE Window
-    # operator / one pass — no second all-to-one exchange and no second
-    # evaluation of the (UDF-bearing) input lineage.
-    order_window = Window.orderBy("memento_datetime", "urim")
-    count_window = order_window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-    counted = meta.withColumn("_n", F.count("*").over(count_window))
-    slice_count = F.when(
-        F.col("_n") > 28, F.floor(28 + F.log10(F.col("_n")))
-    ).otherwise(F.col("_n"))
-    items_per_slice = F.floor(F.col("_n") / slice_count)
+    The global (memento_datetime, urim) rank is computed with the
+    distributed two-phase ranking (:func:`with_global_position`) — no
+    single-partition sort anywhere; N and the slice arithmetic
+    (bin/slice_by_datetime:60-109, quirks included) become driver-side
+    literals from the same pass's partition counts."""
+    import math
 
-    indexed = counted.withColumn("_i", F.row_number().over(order_window) - 1) \
-                     .withColumn("_ips", items_per_slice)
-    slice_id = F.when(F.col("_i") == 0, 0).otherwise(
-        F.ceil(F.col("_i") / F.col("_ips"))
-    )
+    indexed, n = with_global_position(
+        meta, ["memento_datetime", "urim"], pos_col="global_position")
+    if n == 0:
+        return indexed.withColumn("slice_id", F.lit(None).cast("int"))
+    slice_count = n if n <= 28 else math.floor(28 + math.log10(n))
+    ips = n // slice_count  # ≥ 1 (n ≤ 28 ⇒ slice_count = n ⇒ ips = 1)
+
+    pos = F.col("global_position")
+    slice_id = F.when(pos == 0, 0).otherwise(
+        F.ceil(pos / F.lit(float(ips))))
     return (
         indexed.withColumn("slice_id", slice_id.cast("int"))
         # a slice only exists if the reference closed it (i % ips == 0 reached)
-        .filter(
-            (F.col("_i") == 0)
-            | (F.col("slice_id") * F.col("_ips") <= F.col("_n") - 1)
-        )
-        .drop("_n", "_ips")
-        .withColumnRenamed("_i", "global_position")
+        .filter((pos == 0) | (F.col("slice_id") * ips <= n - 1))
     )
 
 

@@ -87,3 +87,43 @@ def test_lsh_candidates_no_join(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
     # the spill-safe gate sits BEFORE the collect: Window below HashAggregate
     assert plan.index("HashAggregate") < plan.index("Window")  # printed top-down
+
+
+def test_slice_by_datetime_no_single_partition_sort(spark):
+    """W3's global rank must come from the distributed two-phase ranking:
+    no Exchange SinglePartition (the old all-to-one Window) anywhere, and
+    the slice ids must equal a brute-force single-window rendition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from off_topic_memento_toolkit_spark.operators.curation import (
+        slice_by_datetime,
+    )
+
+    meta = spark.range(1200).select(
+        F.concat(F.lit("u"), F.format_string("%05d", F.col("id"))).alias("urim"),
+        F.lit("t").alias("urit"),
+        (F.col("id") % 37).alias("simhash"),
+        F.timestamp_seconds(F.lit(1700000000) + (F.col("id") * 7919) % 100000)
+        .alias("memento_datetime"),
+    ).repartition(13)  # adversarial input layout
+
+    out = slice_by_datetime(meta)
+    plan = _executed_plan(out)
+    assert "Exchange SinglePartition" not in plan, plan
+
+    got = {r.urim: (r.global_position, r.slice_id) for r in out.collect()}
+
+    # brute-force oracle: literal single-window arithmetic (test-only)
+    import math
+    n = meta.count()
+    slice_count = n if n <= 28 else math.floor(28 + math.log10(n))
+    ips = n // slice_count
+    w = Window.orderBy("memento_datetime", "urim")
+    brute = meta.withColumn("_i", F.row_number().over(w) - 1)
+    expect = {}
+    for r in brute.collect():
+        sid = 0 if r._i == 0 else math.ceil(r._i / ips)
+        if r._i == 0 or sid * ips <= n - 1:
+            expect[r.urim] = (r._i, sid)
+    assert got == expect
