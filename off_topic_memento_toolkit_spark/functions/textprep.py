@@ -157,6 +157,7 @@ class _ParagraphParser(HTMLParser):
         self._stack = []       # (tag, is_kill_root)
         self._open = {}        # open-tag counts (O(1) membership for ends)
         self._kill_count = 0   # open kill roots
+        self._head_seen = False
         self._br = False
 
     def _flush(self):
@@ -201,8 +202,13 @@ class _ParagraphParser(HTMLParser):
                     break
 
     def handle_starttag(self, tag, attrs):
+        if tag == "head" and (self._head_seen or self._open.get("head", 0)):
+            return  # head is a document singleton; later <head> tokens are
+                    # ignored (HTML5 in-body rule / libxml2 head merge)
         self._head_exit(tag)
         self._autoclose(tag)
+        if tag == "head":
+            self._head_seen = True
         if tag not in _VOID_TAGS:
             self._push(tag)
         if self._kill_count or (tag in _VOID_TAGS and tag in _KILL_TAGS):

@@ -136,6 +136,7 @@ class _TreeBuilder(HTMLParser):
         self.root = Element("#root")
         self.stack = [self.root]
         self._head_open = False  # inside an explicit <head> element
+        self._head_seen = False  # head is a document singleton
 
     def _autoclose(self, tag):
         while len(self.stack) > 1:
@@ -156,6 +157,9 @@ class _TreeBuilder(HTMLParser):
             self._head_open = False
 
     def handle_starttag(self, tag, attrs):
+        if tag == "head" and (self._head_seen or self._head_open):
+            return  # head is a document singleton; later <head> tokens are
+                    # ignored (HTML5 in-body rule / libxml2 head merge)
         self._implicit_head_exit(tag)
         self._autoclose(tag)
         element = Element(tag)
@@ -164,6 +168,7 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(element)
             if tag == "head":
                 self._head_open = True
+                self._head_seen = True
 
     def handle_startendtag(self, tag, attrs):
         # HTML parsers ignore the self-closing slash on non-void elements:

@@ -142,3 +142,51 @@ def test_empty_documents_raise_in_both():
             extract_text(bad)
         with pytest.raises(OracleEmptyDocument):
             justext_extract(bad)
+
+
+# ------------------------- hypothesis tag-soup fuzz (beyond the generator)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _TAGS = (list(dict.fromkeys(
+        INLINE_TAGS + BLOCK_TAGS + KILLED
+        + ["br", "hr", "img", "head", "title", "body", "html", "table",
+           "tr", "td", "th", "option", "optgroup", "colgroup", "col",
+           "tbody", "thead", "tfoot", "meta", "link", "weirdtag"])))
+
+    _texts = st.text(
+        alphabet=st.sampled_from(
+            list("ab <>&;/\"'\n\r\t=-!") + ["é", "東", "\xa0"]),
+        min_size=1, max_size=12)
+
+    _pieces = st.one_of(
+        _texts,
+        st.sampled_from(_TAGS).map(lambda t: f"<{t}>"),
+        st.sampled_from(_TAGS).map(lambda t: f"</{t}>"),
+        st.sampled_from(_TAGS).map(lambda t: f"<{t}/>"),
+        st.sampled_from(_TAGS).map(lambda t: f"<{t} a=\"x>y\" b>"),
+        st.just("<!-- c <p>x</p> -->"),
+        st.just("&amp;"), st.just("&nbsp;"), st.just("&#66;"),
+        st.just("<br><br>"),
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(_pieces, min_size=1, max_size=40))
+    def test_tag_soup_parity(pieces):
+        """Arbitrary event soup — stream parser and tree oracle must emit
+        identical bytes (or both reject the document as empty)."""
+        html = "".join(pieces)
+        try:
+            a = extract_text(html)
+        except EmptyDocumentError:
+            a = "<EMPTY>"
+        try:
+            b = justext_extract(html)
+        except OracleEmptyDocument:
+            b = "<EMPTY>"
+        assert a == b, repr(html)
+
+except ImportError:  # pragma: no cover - hypothesis is baked into the image
+    pass
