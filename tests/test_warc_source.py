@@ -109,6 +109,36 @@ def test_cli_detect_from_warc_end_to_end(spark, tmp_path):
     assert first["wordcount"]["Topic Status"] == "on-topic"
 
 
+def test_cli_dedup_from_warc_end_to_end(spark, tmp_path):
+    """Raw WARC → LSH/CC duplicate clusters through the dedup subcommand:
+    the full reference-replacement workflow with no intermediate tables."""
+    from off_topic_memento_toolkit_spark.cli import main
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6)
+    near = base.replace("kappa", "lambda", 2)  # near-duplicate of base
+    other = "completely different words entirely " * 12
+    raw = b""
+    for i, (url, body) in enumerate([
+        ("http://a.example/1", base), ("http://a.example/2", near),
+        ("http://b.example/x", other),
+    ]):
+        raw += _record("response", url, f"2016-01-2{i+1}T00:00:00Z",
+                       f"<html><body><p>{body}</p></body></html>".encode())
+    (tmp_path / "c.warc.gz").write_bytes(gzip.compress(raw))
+    out = str(tmp_path / "clusters")
+
+    main(["dedup", "-i", f"warc:{tmp_path}/*.warc.gz", "-o", out,
+          "--min-jaccard", "0.5"], spark=spark)
+
+    rows = spark.read.parquet(out).collect()
+    comp = {r.urim: r.component for r in rows}
+    a1 = "from-warc::20160121000000::http://a.example/1"
+    a2 = "from-warc::20160122000000::http://a.example/2"
+    b1 = "from-warc::20160123000000::http://b.example/x"
+    assert comp[a1] == comp[a2]       # near-dups clustered together
+    assert comp[b1] != comp[a1]       # unrelated page stays apart
+
+
 @pytest.mark.skipif(not os.path.exists(REFERENCE_WARC),
                     reason="reference fixture not present")
 def test_reference_fixture_warc():
