@@ -594,3 +594,41 @@ def test_mid_cc_loop_resume(spark, tmp_path):
     for marker, stamp in stamps.items():
         assert json.load(open(marker))["committed_at_monotonic"] == stamp, \
             f"{marker} was recomputed instead of replayed"
+
+
+def test_checkpoint_snapshot_isolation_and_time_travel(spark, tmp_path):
+    """Iceberg-semantics contract on the versioned store: (1) a reader's
+    snapshot survives a concurrent re-commit untouched; (2) a torn write
+    (version dir without marker swing) is invisible; (3) old versions stay
+    addressable (time travel)."""
+    import glob as _glob
+
+    from off_topic_memento_toolkit_spark.plans.checkpoints import (
+        CheckpointStore,
+    )
+
+    store = CheckpointStore(spark, str(tmp_path / "snap"), run_id="r1")
+    v1_df = spark.range(10).selectExpr("id", "id * 2 AS val")
+    store.write(v1_df, "t")
+    reader = store.read("t")  # lazy plan pinned to v1's files
+
+    # overwrite with different content — v1 files must not be touched
+    store.write(spark.range(3).selectExpr("id", "id * 100 AS val"), "t")
+    assert {r.id for r in reader.collect()} == set(range(10))  # isolation
+    assert {r.id for r in store.read("t").collect()} == {0, 1, 2}
+
+    # time travel
+    assert store.versions("t") == [1, 2]
+    assert {r.val for r in store.read("t", version=1).collect()} \
+        == {2 * i for i in range(10)}
+
+    # torn write: a version directory without the marker swing is invisible
+    torn = str(tmp_path / "snap" / "t" / "v000099")
+    spark.range(1).write.parquet(torn)  # no _info.json, no marker update
+    assert store.marker("t")["version"] == 2
+    assert {r.id for r in store.read("t").collect()} == {0, 1, 2}
+    assert 99 not in store.versions("t")
+    # and a later commit skips past the orphan (no collision)
+    store.write(spark.range(1).selectExpr("id", "id AS val"), "t")
+    assert store.marker("t")["version"] == 100
+    assert len(_glob.glob(str(tmp_path / "snap" / "t" / "v*"))) == 4
