@@ -136,6 +136,30 @@ class CheckpointStore:
         with open(self._marker(stage)) as fh:
             return json.load(fh)
 
+    def expire_snapshots(self, stage: str, keep: int = 1) -> list:
+        """Iceberg-style maintenance: delete all but the newest ``keep``
+        committed versions (never the marker's current one) plus any orphan
+        version directories from torn writes.  Returns the removed paths."""
+        import shutil
+
+        keep = max(1, keep)
+        committed = self.versions(stage)
+        current = self.marker(stage)["version"] if self.is_committed(stage) \
+            else None
+        keep_set = set(committed[-keep:])
+        if current is not None:
+            keep_set.add(current)
+        removed = []
+        stage_dir = self._stage_dir(stage)
+        if os.path.isdir(stage_dir):
+            for name in os.listdir(stage_dir):
+                match = _VDIR.match(name)
+                if match and int(match.group(1)) not in keep_set:
+                    path = os.path.join(stage_dir, name)
+                    shutil.rmtree(path)
+                    removed.append(path)
+        return removed
+
     def run_stage(self, stage: str, build) -> DataFrame:
         """Return the committed stage table, computing it only if missing —
         the resume contract: relaunch skips completed stages."""

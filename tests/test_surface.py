@@ -632,3 +632,22 @@ def test_checkpoint_snapshot_isolation_and_time_travel(spark, tmp_path):
     store.write(spark.range(1).selectExpr("id", "id AS val"), "t")
     assert store.marker("t")["version"] == 100
     assert len(_glob.glob(str(tmp_path / "snap" / "t" / "v*"))) == 4
+
+
+def test_checkpoint_expire_snapshots(spark, tmp_path):
+    from off_topic_memento_toolkit_spark.plans.checkpoints import (
+        CheckpointStore,
+    )
+
+    store = CheckpointStore(spark, str(tmp_path / "gc"), run_id="r1")
+    for i in range(4):
+        store.write(spark.range(i + 1).selectExpr("id"), "t")
+    # plus an orphan (torn write)
+    spark.range(1).write.parquet(str(tmp_path / "gc" / "t" / "v000050"))
+
+    removed = store.expire_snapshots("t", keep=2)
+    assert len(removed) == 3  # v1, v2, and the orphan
+    assert store.versions("t") == [3, 4]
+    assert store.marker("t")["version"] == 4
+    assert store.read("t").count() == 4
+    assert store.read("t", version=3).count() == 3
