@@ -81,21 +81,6 @@ def lcs_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(map(_ratio, zip(a, b)))
 
 
-@F.pandas_udf(T.DoubleType())
-def token_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    def _jac(pair):
-        left, right = pair
-        if left is None or right is None:
-            return None
-        sa, sb = set(left), set(right)
-        union = sa | sb
-        if not union:
-            return 1.0
-        return len(sa & sb) / len(union)
-
-    return pd.Series(map(_jac, zip(a, b)))
-
-
 def _attach_pair_payload(pairs: DataFrame, docs: DataFrame,
                          id_col: str, payload_col: str) -> DataFrame:
     left = docs.select(F.col(id_col).alias("id_a"),
@@ -110,10 +95,20 @@ def verified_pairs_jaccard(
     id_col: str = "urim", tokens_col: str = "tokens",
     min_jaccard: float = 0.8,
 ) -> DataFrame:
+    """Token-set (or shingle-set, via ``tokens_col``) Jaccard verification —
+    pure JVM array algebra, no Python in the verify hot path; stays inside
+    whole-stage codegen between the two payload joins."""
     joined = _attach_pair_payload(pairs, docs, id_col, tokens_col)
+    a, b = F.col("_payload_a"), F.col("_payload_b")
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    jaccard = (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
+        .when(union == 0, F.lit(1.0))
+        .otherwise(inter.cast("double") / union)
+    )
     return (
-        joined.withColumn("jaccard_sim",
-                          token_jaccard_udf("_payload_a", "_payload_b"))
+        joined.withColumn("jaccard_sim", jaccard)
         .filter(F.col("jaccard_sim") >= min_jaccard)
         .select("id_a", "id_b", "jaccard_sim")
     )
