@@ -267,3 +267,87 @@ def test_dedup_recall_vs_reference_chain_assignments(spark):
                 for a, b in truth_pairs)
     recall = found / len(truth_pairs)
     assert recall >= 0.99, (recall, len(truth_pairs))
+
+
+def test_simhash_pairs_exhaustive_random(spark):
+    """Pigeonhole exhaustiveness, property-tested: on random 64-bit values
+    the chunk-join channel must find EXACTLY the brute-force pairs with
+    hamming ≤ 3 (chunks=4 guarantees any such pair collides on ≥1 slice)."""
+    rng = random.Random(99)
+    base = [rng.getrandbits(64) for _ in range(40)]
+    values = list(base)
+    for v in base[:20]:  # plant near-misses at controlled distances
+        for bits in (1, 2, 3, 4, 5):
+            flipped = v
+            for b in rng.sample(range(64), bits):
+                flipped ^= 1 << b
+            values.append(flipped)
+    rows = [(f"d{i:03d}", v - (1 << 64) if v >= 1 << 63 else v)
+            for i, v in enumerate(values)]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    expected = {
+        (rows[i][0], rows[j][0])
+        for i in range(len(rows)) for j in range(i + 1, len(rows))
+        if ham(rows[i][1], rows[j][1]) <= 3 and rows[i][1] != rows[j][1]
+        or (ham(rows[i][1], rows[j][1]) <= 3 and rows[i][0] != rows[j][0])
+    }
+    df = spark.createDataFrame(rows, "urim string, simhash long")
+    got = {(r.id_a, r.id_b)
+           for r in simhash_candidate_pairs(
+               df, max_hamming=3, max_bucket_size=4096).collect()}
+    assert got == expected
+
+
+def test_minhash_lsh_s_curve_calibration(spark):
+    """The banding S-curve, measured: candidate probability for pairs of
+    known shingle-Jaccard must be ~1 above the (1/b)^(1/r) threshold and
+    ~0 well below it — the guarantee the 100 TB recall story rests on.
+    Pairs are built by sharing a controlled fraction of 5-word shingle
+    blocks (disjoint vocab per pair, so only intended collisions exist)."""
+    rows = []
+    pair_jaccard = {}
+    n_pairs_per_level = 12
+    levels = [0.1, 0.3, 0.5, 0.7, 0.9]
+    pid = 0
+    total = 200  # tokens per doc → total-4 sliding 5-gram shingles
+    for target_j in levels:
+        for _ in range(n_pairs_per_level):
+            # a shared CONTIGUOUS run of L tokens contributes exactly L-4
+            # shared shingles (sliding 5-grams are position-independent);
+            # everything else is pair-unique vocab → exact jaccard control:
+            # J = (L-4) / (2*(total-4) - (L-4))
+            shared_shingles = round(2 * (total - 4) * target_j
+                                    / (1 + target_j))
+            run = shared_shingles + 4
+            vocab_base = pid * 10000
+            shared_run = [f"s{vocab_base + i}" for i in range(run)]
+            pad = total - run
+            a_tokens = ([f"a{vocab_base + i}" for i in range(pad // 2)]
+                        + shared_run
+                        + [f"x{vocab_base + i}" for i in range(pad - pad // 2)])
+            b_tokens = ([f"b{vocab_base + i}" for i in range(pad // 2)]
+                        + shared_run
+                        + [f"y{vocab_base + i}" for i in range(pad - pad // 2)])
+            rows.append((f"a{pid:04d}", a_tokens))
+            rows.append((f"b{pid:04d}", b_tokens))
+            pair_jaccard[pid] = shared_shingles / (
+                2 * (total - 4) - shared_shingles)
+            pid += 1
+    df = spark.createDataFrame(rows, "urim string, tokens array<string>")
+    got = {(r.id_a, r.id_b) for r in minhash_candidate_pairs(
+        df, max_bucket_size=4096).collect()}
+    hit_rate = {}
+    for level in levels:
+        pids = [p for p in pair_jaccard
+                if abs(pair_jaccard[p] - level) < 0.12]
+        hits = sum((f"a{p:04d}", f"b{p:04d}") in got
+                   or (f"b{p:04d}", f"a{p:04d}") in got for p in pids)
+        hit_rate[level] = hits / len(pids)
+    # bands=32, rows=4 → 50% threshold at (1/32)^(1/4) ≈ 0.42
+    assert hit_rate[0.9] == 1.0, hit_rate
+    assert hit_rate[0.7] == 1.0, hit_rate
+    assert hit_rate[0.5] >= 0.9, hit_rate
+    assert hit_rate[0.1] <= 0.25, hit_rate
