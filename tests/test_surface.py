@@ -651,3 +651,60 @@ def test_checkpoint_expire_snapshots(spark, tmp_path):
     assert store.marker("t")["version"] == 4
     assert store.read("t").count() == 4
     assert store.read("t", version=3).count() == 3
+
+
+def test_streaming_stateful_dedup_state_survives_restart(spark, tmp_path):
+    """The D1 seen-set/prev state must persist in the state store ACROSS
+    runs: drain batch 1, stop, land new files, drain again with the same
+    checkpoint — rows already seen in run 1 stay suppressed, and the
+    prev-simhash chain continues rather than resetting to 0."""
+    from off_topic_memento_toolkit_spark.operators.curation import (
+        exclude_duplicates,
+    )
+    from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
+    from off_topic_memento_toolkit_spark.sources.datagen import generate_pages
+    from off_topic_memento_toolkit_spark.streaming.ingest import (
+        build_streaming_enrichment,
+        streaming_sequential_dedup,
+    )
+
+    pages = generate_pages(spark, n_urls=6, mementos_per_url=8, skew=False,
+                           error_rows=False, dup_rate=0.6).cache()
+    enriched_all = prepare_pages(pages, need_tf_simhash=False).cache()
+    # split by time: first half arrives in run 1, second half in run 2
+    cut = enriched_all.selectExpr(
+        "percentile(cast(warc_ts as long), 0.5) p").collect()[0].p
+    first_half = pages.join(
+        enriched_all.filter(F.col("warc_ts").cast("long") <= cut)
+        .select("url", "warc_ts"), ["url", "warc_ts"], "left_semi")
+    second_half = pages.join(
+        enriched_all.filter(F.col("warc_ts").cast("long") > cut)
+        .select("url", "warc_ts"), ["url", "warc_ts"], "left_semi")
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = build_streaming_enrichment(spark, src)
+        q = (streaming_sequential_dedup(stream, threshold=0.2)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    first_half.write.mode("append").parquet(src)
+    drain()
+    run1 = {r.urim for r in spark.read.parquet(out).collect()}
+
+    second_half.write.mode("append").parquet(src)
+    drain()
+    got = {r.urim for r in spark.read.parquet(out).collect()}
+    assert run1 <= got
+
+    meta = enriched_all.select(
+        F.col("url").alias("urit"), "urim",
+        F.col("raw_simhash").alias("simhash"),
+        F.col("warc_ts").alias("memento_datetime"))
+    want = {r.urim for r in exclude_duplicates(meta, threshold=0.2).collect()}
+    assert got == want and len(got) > len(run1) > 0
