@@ -172,7 +172,9 @@ try:
         st.just("<br><br>"),
     )
 
-    @settings(max_examples=400, deadline=None)
+    # derandomize: the gate must be reproducible run-to-run (exploratory
+    # fuzzing happens offline — 40k-soup sweeps during development)
+    @settings(max_examples=400, deadline=None, derandomize=True)
     @given(st.lists(_pieces, min_size=1, max_size=40))
     def test_tag_soup_parity(pieces):
         """Arbitrary event soup — stream parser and tree oracle must emit
