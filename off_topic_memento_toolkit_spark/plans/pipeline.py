@@ -74,6 +74,7 @@ def dedup_pipeline(
     verify: bool = True,
     verify_method: str = "jaccard",
     min_lcs_ratio: float = 0.6,
+    cc_small_graph_threshold: int = 1 << 20,
 ) -> DataFrame:
     """Near-duplicate clusters at scale: MinHash-LSH (+ SimHash Hamming-ball)
     candidates → verification → large-star/small-star CC.
@@ -159,6 +160,7 @@ def dedup_pipeline(
         labeled = attach_components(
             docs.select("nid", "urim"), edges, id_col="nid",
             checkpoint_dir_writer=cc_writer,
+            small_graph_threshold=cc_small_graph_threshold,
         )
         return labeled.select("urim", "component")
 

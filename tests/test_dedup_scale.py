@@ -51,7 +51,9 @@ def _min_label(n, edges):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_connected_components_random_graphs(spark, seed):
+@pytest.mark.parametrize("threshold", [0, 1 << 20],
+                         ids=["distributed", "single-task"])
+def test_connected_components_random_graphs(spark, seed, threshold):
     rng = random.Random(seed)
     n = 60
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
@@ -60,7 +62,8 @@ def test_connected_components_random_graphs(spark, seed):
 
     edges_df = spark.createDataFrame(edges, "src long, dst long")
     labels = {r.id: r.component
-              for r in connected_components(edges_df).collect()}
+              for r in connected_components(
+                  edges_df, small_graph_threshold=threshold).collect()}
     for node, component in labels.items():
         assert component == expected[node], (node, component, expected[node])
     # nodes appearing in edges must all be labeled
@@ -89,17 +92,21 @@ def test_connected_components_leaves_session_conf_alone(spark):
     edges_df = spark.createDataFrame(edges, "src long, dst long")
     labels = {r.id: r.component
               for r in connected_components(
-                  edges_df, checkpoint_dir_writer=spying_writer).collect()}
+                  edges_df, checkpoint_dir_writer=spying_writer,
+                  small_graph_threshold=0).collect()}
     assert set(labels.values()) == {0}
     assert seen_confs and all(c == conf_before for c in seen_confs)
     assert spark.conf.get("spark.sql.shuffle.partitions") == conf_before
 
 
-def test_connected_components_chain(spark):
+@pytest.mark.parametrize("threshold", [0, 1 << 20],
+                         ids=["distributed", "single-task"])
+def test_connected_components_chain(spark, threshold):
     # worst-case diameter: a long path — large/small-star converges in O(log n)
     edges = [(i, i + 1) for i in range(0, 63)]
     edges_df = spark.createDataFrame(edges, "src long, dst long")
-    labels = {r.id: r.component for r in connected_components(edges_df).collect()}
+    labels = {r.id: r.component for r in connected_components(
+        edges_df, small_graph_threshold=threshold).collect()}
     assert set(labels.values()) == {0}
 
 

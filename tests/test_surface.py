@@ -579,7 +579,8 @@ def test_mid_cc_loop_resume(spark, tmp_path):
                            error_rows=False, dup_rate=0.6)
     root = str(tmp_path / "cc_ckpt")
     store1 = CheckpointStore(spark, root, run_id="r1")
-    first = sorted(map(tuple, dedup_pipeline(pages, store=store1).collect()))
+    first = sorted(map(tuple, dedup_pipeline(
+        pages, store=store1, cc_small_graph_threshold=0).collect()))
 
     iter_markers = sorted(glob.glob(f"{root}/cc_iter_*._COMMIT.json"))
     assert iter_markers, "CC iterations were not checkpointed"
@@ -589,7 +590,8 @@ def test_mid_cc_loop_resume(spark, tmp_path):
     # simulate a kill right before the final clusters commit
     _os.remove(f"{root}/clusters._COMMIT.json")
     store2 = CheckpointStore(spark, root, run_id="r1")
-    again = sorted(map(tuple, dedup_pipeline(pages, store=store2).collect()))
+    again = sorted(map(tuple, dedup_pipeline(
+        pages, store=store2, cc_small_graph_threshold=0).collect()))
     assert again == first
     for marker, stamp in stamps.items():
         assert json.load(open(marker))["committed_at_monotonic"] == stamp, \
