@@ -65,53 +65,53 @@ def with_global_position(df: DataFrame, order_cols,
     """Distributed dense 0-based rank over a UNIQUE total order — the
     scalable replacement for ``row_number()`` over a single-partition Window.
 
-    Three steps, none of which funnels the data through one task:
+    Three steps, none of which funnels the data through one task — and no
+    Python anywhere:
     1. ``repartitionByRange`` on the order key (partition p holds a
        contiguous key range) + ``sortWithinPartitions``; ``localCheckpoint``
        pins the layout so the next two jobs share one upstream execution.
-    2. per-partition counts (a cheap agg job) → driver-side prefix offsets
-       (#partitions values, not #rows).
-    3. one Arrow ``mapInPandas`` pass attaching offset[pid] + local index.
+    2. ``monotonically_increasing_id()`` over the pinned layout encodes
+       ``(partition_id << 33) + local_row_index`` — the per-partition dense
+       rank for free, JVM-side, in row order;
+    3. per-partition counts (a cheap agg job) → prefix offsets, joined back
+       by broadcast on the decoded partition id (#partitions rows, no
+       shuffle of the data side).
 
     Returns ``(df_with_pos, total_count)``.  The order must be unique
     (here (memento_datetime, urim) — urim breaks ties), which makes the rank
     independent of where the range boundaries fall."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
     n_parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
+    local = F.monotonically_increasing_id()
+    with_mid = (
+        ranged.withColumn("_pid", F.shiftrightunsigned(local, 33))
+        .withColumn("_local", local.bitwiseAND(F.lit((1 << 33) - 1)))
+    )
     counts = {r._pid: r.cnt for r in
-              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, total = {}, 0
+              with_mid.groupBy("_pid").agg(F.count("*").alias("cnt"))
+              .collect()}
+    offsets, total = [], 0
     for pid in sorted(counts):
-        offsets[pid] = total
+        offsets.append((pid, total))
         total += counts[pid]
 
-    schema = T.StructType(
-        [f for f in ranged.schema.fields if f.name != "_pid"]
-        + [T.StructField(pos_col, T.LongType())])
-    out_cols = [f.name for f in schema.fields]
-
-    def attach(pdf_iter):
-        position = None  # one mapInPandas task == one partition
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            if position is None:
-                position = offsets[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf[pos_col] = range(position, position + len(pdf))
-            position += len(pdf)
-            yield pdf[out_cols]
-
-    return ranged.mapInPandas(attach, schema=schema), total
+    spark = df.sparkSession
+    if offsets:
+        offsets_df = spark.createDataFrame(offsets, "_pid long, _offset long")
+        out = (
+            with_mid.join(F.broadcast(offsets_df), "_pid")
+            .withColumn(pos_col, F.col("_offset") + F.col("_local"))
+            .drop("_pid", "_local", "_offset")
+        )
+    else:
+        out = with_mid.drop("_pid", "_local") \
+                      .withColumn(pos_col, F.lit(None).cast("long"))
+    return out, total
 
 
 def slice_by_datetime(meta: DataFrame) -> DataFrame:
