@@ -169,7 +169,7 @@ class _ParagraphParser(HTMLParser):
         self._nodes = []
 
     def _push(self, tag):
-        kills = tag in _KILL_TAGS or tag == "head"
+        kills = tag in _KILL_TAGS  # incl. "head": the whole subtree dies
         self._stack.append((tag, kills))
         self._open[tag] = self._open.get(tag, 0) + 1
         if kills:

@@ -119,14 +119,26 @@ class CheckpointStore:
 
     def read(self, stage: str, version: int | None = None) -> DataFrame:
         """The committed snapshot (or an explicit older version: time
-        travel). Only data the marker/_info declares complete is readable."""
-        if version is not None:
+        travel). Only data the marker/_info declares complete is readable.
+
+        The data path derives from THIS store's root + the marker's version
+        — never from the write-time path string — so a relocated checkpoint
+        tree (copied root, different cwd for a relative root) resumes in
+        place.  Markers from the pre-versioned format (no ``version`` key)
+        fall back to the legacy flat ``<root>/<stage>`` layout."""
+        if version is None:
+            version = self.marker(stage).get("version")
+            if version is None:  # legacy flat layout
+                return (
+                    self.spark.read.parquet(self._stage_dir(stage))
+                    .drop("_partition_id", "_run_id", "_stage")
+                )
+            path = self._version_dir(stage, version)
+        else:
             path = self._version_dir(stage, version)
             if not os.path.exists(os.path.join(path, "_info.json")):
                 raise FileNotFoundError(
                     f"stage {stage!r} has no committed version {version}")
-        else:
-            path = self.marker(stage)["data_path"]
         return (
             self.spark.read.parquet(path)
             .drop("_partition_id", "_run_id", "_stage")
@@ -144,8 +156,8 @@ class CheckpointStore:
 
         keep = max(1, keep)
         committed = self.versions(stage)
-        current = self.marker(stage)["version"] if self.is_committed(stage) \
-            else None
+        current = self.marker(stage).get("version") \
+            if self.is_committed(stage) else None
         keep_set = set(committed[-keep:])
         if current is not None:
             keep_set.add(current)

@@ -1,7 +1,9 @@
-"""Scaling-efficiency evidence: the same document-processing jobs at two
-parallelism levels (default local[4] vs local[16] — the sandbox proxy for N
-vs 4N executors, per the driver instructions), reporting docs/sec at both and
-efficiency = (T_N / T_4N) / 4.
+"""Scaling-efficiency evidence: the same document-processing jobs at a
+ladder of parallelism levels (default --levels 2,8,32 — consecutive entries
+are N vs 4N pairs, the sandbox proxy for N vs 4N executors), reporting
+docs/sec at every level, efficiency = (T_N / T_4N) / 4 per pair, and a raw
+multiprocessing chip control at the same widths (the silicon's own per-core
+derating, which the engine cannot exceed).
 
 Design for a clean measurement:
 - each (stage, level) runs in its own subprocess — fresh JVM and fresh Python
@@ -11,13 +13,14 @@ Design for a clean measurement:
 - the corpus is `replicate` perturbed copies of the sf documents table
   (distinct urls AND distinct content — exact replicas would make every page
   a member of a clique and the dedup stage quadratic in the factor);
-- low vs 4x-low cores stays inside the box's physical-parallelism envelope:
-  this 32-core VM drops its all-core clock near full width (raw
-  multiprocessing measures 0.84 at 8→32 with zero Spark), which would
-  measure the chip, not the engine; defaults are 2 vs 8.
+- the VM sheds all-core clock near full width, so every N→4N pair is
+  published WITH the measured chip control at the same widths — the 2→8
+  pair is the clean engine signal, the 8→32 pair shows the silicon share
+  of the loss explicitly.
 
 Writes BENCH.md.  Usage:
-    python scripts/scaling_run.py [--sf-dir DIR] [--replicate K] [--best-of N]
+    python scripts/scaling_run.py [--sf-dir DIR] [--replicate K]
+                                  [--levels 2,8,32] [--best-of N]
 """
 
 import argparse
@@ -142,9 +145,11 @@ def run_chip_control(workers):
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as fh:
         fh.write(_CHIP_CONTROL)
         path = fh.name
-    out = subprocess.run([sys.executable, path, str(workers)],
-                         capture_output=True, text=True, timeout=600)
-    os.unlink(path)
+    try:
+        out = subprocess.run([sys.executable, path, str(workers)],
+                             capture_output=True, text=True, timeout=600)
+    finally:
+        os.unlink(path)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])

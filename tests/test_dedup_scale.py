@@ -295,11 +295,11 @@ def test_simhash_pairs_exhaustive_random(spark):
     def ham(a, b):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
+    # the channel emits ham=0 pairs too (distinct docs, equal values)
     expected = {
         (rows[i][0], rows[j][0])
         for i in range(len(rows)) for j in range(i + 1, len(rows))
-        if ham(rows[i][1], rows[j][1]) <= 3 and rows[i][1] != rows[j][1]
-        or (ham(rows[i][1], rows[j][1]) <= 3 and rows[i][0] != rows[j][0])
+        if ham(rows[i][1], rows[j][1]) <= 3
     }
     df = spark.createDataFrame(rows, "urim string, simhash long")
     got = {(r.id_a, r.id_b)

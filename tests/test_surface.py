@@ -710,3 +710,30 @@ def test_streaming_stateful_dedup_state_survives_restart(spark, tmp_path):
         F.col("warc_ts").alias("memento_datetime"))
     want = {r.urim for r in exclude_duplicates(meta, threshold=0.2).collect()}
     assert got == want and len(got) > len(run1) > 0
+
+
+def test_checkpoint_reads_legacy_flat_layout(spark, tmp_path):
+    """Markers written before the versioned-snapshot format (no 'version'
+    key, data in a flat <root>/<stage> dir) must still resume."""
+    import json as _json
+
+    from off_topic_memento_toolkit_spark.plans.checkpoints import (
+        CheckpointStore,
+    )
+
+    root = str(tmp_path / "legacy")
+    os.makedirs(root)
+    df = spark.range(7).selectExpr(
+        "id", "0 AS _partition_id", "'r0' AS _run_id", "'t' AS _stage")
+    df.write.parquet(f"{root}/t")
+    with open(f"{root}/t._COMMIT.json", "w") as fh:
+        _json.dump({"stage": "t", "run_id": "r0", "rows": 7,
+                    "partitions": 1, "per_partition_rows": []}, fh)
+
+    store = CheckpointStore(spark, root, run_id="r1")
+    assert store.is_committed("t")
+    assert store.read("t").count() == 7
+    assert store.run_stage("t", lambda: 1 / 0).count() == 7  # pure read
+    # a fresh commit upgrades the stage to the versioned layout in place
+    store.write(spark.range(3).selectExpr("id"), "t2")
+    assert store.marker("t2")["version"] == 1
