@@ -118,6 +118,21 @@ def main(argv=None, spark=None):
     stats.add_argument("--quality-only", action="store_true",
                        help="emit only rows passing the quality screens")
 
+    filt = sub.add_parser(
+        "filter", help="consideration-list builders: language select "
+                       "(bin/select_by_language) and sequential near-dup "
+                       "exclusion (bin/exclude_duplicates)")
+    filt.add_argument("-i", "--input", required=True)
+    filt.add_argument("-o", "--output", required=True,
+                      help="directory of one-URI-M-per-line text parts "
+                           "(feed back via a consideration join)")
+    filt.add_argument("-l", "--language",
+                      help="keep only mementos with this language")
+    filt.add_argument("--exclude-duplicates", action="store_true",
+                      help="apply the D1 sequential simhash rule")
+    filt.add_argument("--threshold", type=float, default=0.2,
+                      help="D1 hamming/64 threshold (default 0.2)")
+
     stream = sub.add_parser(
         "stream", help="structured-streaming ingest over a pages directory")
     stream.add_argument("-i", "--input", required=True,
@@ -202,6 +217,26 @@ def main(argv=None, spark=None):
         if args.quality_only:
             annotated = annotated.filter(F.col("quality_ok"))
         annotated.drop("text").write.mode("overwrite").parquet(args.output)
+
+    elif args.command == "filter":
+        from .operators.curation import exclude_duplicates, select_by_language
+        from .operators.measures import memento_metadata
+
+        pages, _ = _read_pages(spark, args.input)
+        if not args.language and not args.exclude_duplicates:
+            raise SystemExit(
+                "filter needs --language and/or --exclude-duplicates")
+        if args.language:
+            pages = select_by_language(pages, args.language)
+        if args.exclude_duplicates:
+            meta = memento_metadata(pages)
+            kept = exclude_duplicates(meta, threshold=args.threshold)
+            kept.select("urim").write.mode("overwrite").text(args.output)
+        else:
+            from .operators.timeline import with_memento_identity
+
+            with_memento_identity(pages).select("urim") \
+                .write.mode("overwrite").text(args.output)
 
     elif args.command == "stream":
         from .streaming.ingest import (

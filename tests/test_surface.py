@@ -737,3 +737,39 @@ def test_checkpoint_reads_legacy_flat_layout(spark, tmp_path):
     # a fresh commit upgrades the stage to the versioned layout in place
     store.write(spark.range(3).selectExpr("id"), "t2")
     assert store.marker("t2")["version"] == 1
+
+
+def test_cli_filter_consideration_lists(spark, tmp_path):
+    """The reference's select_by_language / exclude_duplicates bin tools as
+    a CLI subcommand emitting one-URI-M-per-line consideration lists."""
+    from off_topic_memento_toolkit_spark.cli import main
+    from off_topic_memento_toolkit_spark.operators.curation import (
+        exclude_duplicates,
+    )
+    from off_topic_memento_toolkit_spark.operators.measures import (
+        memento_metadata,
+    )
+    from off_topic_memento_toolkit_spark.sources.datagen import generate_pages
+
+    pages = generate_pages(spark, n_urls=6, mementos_per_url=4, skew=False,
+                           error_rows=False, dup_rate=0.5)
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+
+    out1 = str(tmp_path / "nondups")
+    main(["filter", "-i", f"pages:{src}", "-o", out1,
+          "--exclude-duplicates"], spark=spark)
+    got = {r.value for r in spark.read.text(out1).collect()}
+    want = {r.urim for r in exclude_duplicates(
+        memento_metadata(spark.read.parquet(src))).collect()}
+    assert got == want and got
+
+    out2 = str(tmp_path / "en_only")
+    main(["filter", "-i", f"pages:{src}", "-o", out2, "-l", "en"],
+         spark=spark)
+    en = {r.value for r in spark.read.text(out2).collect()}
+    n_en = spark.read.parquet(src).filter("lang = 'en'").count()
+    assert len(en) == n_en
+
+    with pytest.raises(SystemExit):
+        main(["filter", "-i", f"pages:{src}", "-o", out2], spark=spark)
