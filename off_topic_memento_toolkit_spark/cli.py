@@ -77,6 +77,25 @@ def _read_pages(spark: SparkSession, spec: str):
                      "(network acquisition is out of scope per SURVEY S4-S6)")
 
 
+def _apply_consider(spark: SparkSession, pages, consider_path):
+    """F4 consideration semi-filter at the pages level: derive urim from
+    (url, warc_ts) and keep only listed mementos (broadcast semi-join,
+    bin/*:46-79)."""
+    if not consider_path:
+        return pages
+    from pyspark.sql import functions as F
+
+    from .operators.timeline import with_memento_identity
+
+    consider = spark.read.text(consider_path) \
+        .select(F.col("value").alias("urim"))
+    return (
+        with_memento_identity(pages)
+        .join(F.broadcast(consider.distinct()), "urim", "left_semi")
+        .drop("urim", "urit")
+    )
+
+
 def main(argv=None, spark=None):
     """``spark=None`` creates (and stops) its own session — the spark-submit
     path; tests pass their shared session, which is left running."""
@@ -85,6 +104,11 @@ def main(argv=None, spark=None):
 
     detect = sub.add_parser("detect", help="off-topic detection")
     detect.add_argument("-i", "--input", required=True)
+    detect.add_argument("-c", "--consider",
+                        help="consideration list (text of URI-Ms, e.g. from "
+                             "the filter subcommand); restricts processing "
+                             "to the listed mementos (F4 broadcast "
+                             "semi-join)")
     detect.add_argument("-o", "--output", required=True)
     detect.add_argument("-ot", "--output-type", default="json",
                         choices=["json", "csv", "goldstandard",
@@ -95,6 +119,11 @@ def main(argv=None, spark=None):
 
     dedup = sub.add_parser("dedup", help="near-duplicate clustering at scale")
     dedup.add_argument("-i", "--input", required=True)
+    dedup.add_argument("-c", "--consider",
+                        help="consideration list (text of URI-Ms, e.g. from "
+                             "the filter subcommand); restricts processing "
+                             "to the listed mementos (F4 broadcast "
+                             "semi-join)")
     dedup.add_argument("-o", "--output", required=True)
     dedup.add_argument("--checkpoint-dir")
     dedup.add_argument("--run-id", default="run-0")
@@ -108,12 +137,22 @@ def main(argv=None, spark=None):
 
     story = sub.add_parser("story", help="curation chain (dedup/slice/cluster/pick)")
     story.add_argument("-i", "--input", required=True)
+    story.add_argument("-c", "--consider",
+                        help="consideration list (text of URI-Ms, e.g. from "
+                             "the filter subcommand); restricts processing "
+                             "to the listed mementos (F4 broadcast "
+                             "semi-join)")
     story.add_argument("-o", "--output", required=True)
 
     stats = sub.add_parser(
         "stats", help="training-data text screens: language-ID, quality "
                       "features, token counts, fingerprints")
     stats.add_argument("-i", "--input", required=True)
+    stats.add_argument("-c", "--consider",
+                        help="consideration list (text of URI-Ms, e.g. from "
+                             "the filter subcommand); restricts processing "
+                             "to the listed mementos (F4 broadcast "
+                             "semi-join)")
     stats.add_argument("-o", "--output", required=True)
     stats.add_argument("--quality-only", action="store_true",
                        help="emit only rows passing the quality screens")
@@ -154,6 +193,7 @@ def main(argv=None, spark=None):
     if args.command == "detect":
         measures, thresholds = parse_measures(args.timemap_measures)
         pages, access_errors = _read_pages(spark, args.input)
+        pages = _apply_consider(spark, pages, args.consider)
         result = detect_off_topic(pages, measures=measures, thresholds=thresholds)
         scores = result["scores"]
         if access_errors is not None:
@@ -185,6 +225,7 @@ def main(argv=None, spark=None):
 
     elif args.command == "dedup":
         pages, _ = _read_pages(spark, args.input)
+        pages = _apply_consider(spark, pages, args.consider)
         store = (CheckpointStore(spark, args.checkpoint_dir, args.run_id)
                  if args.checkpoint_dir else None)
         clusters = dedup_pipeline(
@@ -207,6 +248,7 @@ def main(argv=None, spark=None):
         from .operators.timeline import prepare_pages
 
         pages, _ = _read_pages(spark, args.input)
+        pages = _apply_consider(spark, pages, args.consider)
         enriched = prepare_pages(pages, need_raw_simhash=False,
                                  need_tf_simhash=False)
         docs = enriched.select("urim", "url", "warc_ts", "text")
@@ -278,6 +320,7 @@ def main(argv=None, spark=None):
     elif args.command == "story":
         from .operators.measures import memento_metadata
         pages, _ = _read_pages(spark, args.input)
+        pages = _apply_consider(spark, pages, args.consider)
         story_pipeline(memento_metadata(pages)) \
             .write.mode("overwrite").parquet(args.output)
 

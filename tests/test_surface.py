@@ -773,3 +773,31 @@ def test_cli_filter_consideration_lists(spark, tmp_path):
 
     with pytest.raises(SystemExit):
         main(["filter", "-i", f"pages:{src}", "-o", out2], spark=spark)
+
+
+def test_cli_consideration_roundtrip(spark, tmp_path):
+    """filter → -c loop: the list emitted by `filter --exclude-duplicates`
+    restricts `detect` to exactly those mementos (F4 semi-join), matching
+    the reference's `-c considered.txt` workflow."""
+    import csv
+
+    from off_topic_memento_toolkit_spark.cli import main
+    from off_topic_memento_toolkit_spark.sources.datagen import generate_pages
+
+    pages = generate_pages(spark, n_urls=5, mementos_per_url=4, skew=False,
+                           error_rows=False, dup_rate=0.5)
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+
+    nondups = str(tmp_path / "nondups")
+    main(["filter", "-i", f"pages:{src}", "-o", nondups,
+          "--exclude-duplicates"], spark=spark)
+    keep = {r.value for r in spark.read.text(nondups).collect()}
+
+    out = str(tmp_path / "scores.csv")
+    main(["detect", "-i", f"pages:{src}", "-c", nondups, "-o", out,
+          "-ot", "csv", "-tm", "wordcount"], spark=spark)
+    with open(out) as fh:
+        rows = list(csv.DictReader(fh))
+    scored = {r["URI-M"] for r in rows if r["URI-M"]}
+    assert scored == keep and scored
