@@ -165,3 +165,31 @@ def dedup_pipeline(
         return labeled.select("urim", "component")
 
     return stage("clusters", build_clusters)
+
+
+def pipeline_metrics(store) -> list:
+    """Per-stage metrics table from the committed markers (north_rule
+    "per-partition lineage + metrics"): one dict per committed stage with
+    rows, partitions, snapshot version, commit order, and the min/max
+    per-partition row counts (skew visibility)."""
+    import glob
+    import json
+    import os
+
+    out = []
+    for marker_path in glob.glob(os.path.join(store.root, "*._COMMIT.json")):
+        with open(marker_path) as fh:
+            marker = json.load(fh)
+        per_part = [p["rows"] for p in marker.get("per_partition_rows", [])]
+        out.append({
+            "stage": marker["stage"],
+            "run_id": marker.get("run_id"),
+            "version": marker.get("version"),
+            "rows": marker.get("rows"),
+            "partitions": marker.get("partitions"),
+            "min_partition_rows": min(per_part) if per_part else None,
+            "max_partition_rows": max(per_part) if per_part else None,
+            "committed_at_monotonic": marker.get("committed_at_monotonic"),
+        })
+    out.sort(key=lambda m: m["committed_at_monotonic"] or 0)
+    return out

@@ -801,3 +801,53 @@ def test_cli_consideration_roundtrip(spark, tmp_path):
         rows = list(csv.DictReader(fh))
     scored = {r["URI-M"] for r in rows if r["URI-M"]}
     assert scored == keep and scored
+
+
+def test_partitioned_layout_prunes_and_metrics_surface(spark, tmp_path):
+    """SURVEY §4.3 layout: a crawl-day predicate must reach the file listing
+    (partition pruning, not scan+filter), and the committed stage markers
+    must assemble into a per-stage metrics table with skew visibility."""
+    from off_topic_memento_toolkit_spark.plans.checkpoints import (
+        CheckpointStore,
+    )
+    from off_topic_memento_toolkit_spark.plans.layout import (
+        day_slice,
+        read_pages_partitioned,
+        write_pages_partitioned,
+    )
+    from off_topic_memento_toolkit_spark.plans.pipeline import (
+        dedup_pipeline,
+        pipeline_metrics,
+    )
+    from off_topic_memento_toolkit_spark.sources.datagen import generate_pages
+
+    pages = generate_pages(spark, n_urls=6, mementos_per_url=4, skew=False,
+                           error_rows=False)
+    path = str(tmp_path / "pages_by_day")
+    write_pages_partitioned(pages, path)
+
+    table = read_pages_partitioned(spark, path)
+    days = sorted(r.crawl_date for r in
+                  table.select("crawl_date").distinct().collect())
+    assert len(days) > 1
+    one_day = day_slice(table, str(days[0]))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "crawl_date" in plan.split("PartitionFilters", 1)[1][:200]
+    # the predicate prunes BEFORE I/O: no post-scan Filter on crawl_date
+    assert one_day.count() == pages.filter(
+        F.to_date("warc_ts") == days[0]).count()
+
+    store = CheckpointStore(spark, str(tmp_path / "ck"), run_id="r1")
+    dedup_pipeline(pages, store=store).collect()
+    metrics = pipeline_metrics(store)
+    stages = [m["stage"] for m in metrics]
+    assert {"docs", "candidate_edges", "verified_edges", "clusters"} \
+        <= set(stages)
+    for m in metrics:
+        assert m["rows"] >= 0 and m["version"] == 1
+        if m["partitions"]:
+            assert m["max_partition_rows"] >= m["min_partition_rows"]
+    # commit order is the pipeline order
+    assert stages.index("docs") < stages.index("verified_edges") \
+        < stages.index("clusters")
