@@ -172,6 +172,10 @@ def main(argv=None, spark=None):
     filt.add_argument("--threshold", type=float, default=0.2,
                       help="D1 hamming/64 threshold (default 0.2)")
 
+    metrics = sub.add_parser(
+        "metrics", help="per-stage lineage/metrics from a checkpoint dir")
+    metrics.add_argument("--checkpoint-dir", required=True)
+
     stream = sub.add_parser(
         "stream", help="structured-streaming ingest over a pages directory")
     stream.add_argument("-i", "--input", required=True,
@@ -279,6 +283,14 @@ def main(argv=None, spark=None):
 
             with_memento_identity(pages).select("urim") \
                 .write.mode("overwrite").text(args.output)
+
+    elif args.command == "metrics":
+        import json as _json
+
+        from .plans.pipeline import pipeline_metrics
+
+        store = CheckpointStore(spark, args.checkpoint_dir)
+        print(_json.dumps(pipeline_metrics(store), indent=2))
 
     elif args.command == "stream":
         from .streaming.ingest import (

@@ -206,3 +206,35 @@ def test_exact_duplicates_keeps_null_keys(spark):
     nulls = [r for r in got if r.fingerprint is None]
     assert len(nulls) == 2 and all(r.dup_group_size == 2 for r in nulls)
     assert sum(r.is_canonical for r in nulls) == 1
+
+
+def test_ivf_recall_improves_with_nprobe(spark):
+    """The IVF quality knob, measured: recall@3 vs brute force must be
+    monotone non-decreasing in nprobe and exact when probing every
+    bucket (nprobe = n_centroids ⇒ IVF == brute force)."""
+    import math
+
+    from off_topic_memento_toolkit_spark.operators.ann import (
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    rows = []
+    for i in range(160):
+        angle = (i % 16) / 16 * math.pi
+        rows.append((i, [math.cos(angle), math.sin(angle),
+                         0.01 * (i % 7), 0.01 * (i % 5)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=3).collect()}
+    cents = train_ivf_centroids(emb, n_centroids=8, dim=4, seed=7)
+
+    recalls = []
+    for nprobe in (1, 2, 4, 8):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ivf_cosine_topk(emb, queries, cents, k=3,
+                                        nprobe=nprobe).collect()}
+        recalls.append(len(got & exact) / len(exact))
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] == 1.0, recalls  # probing every bucket = brute force
