@@ -77,23 +77,25 @@ def _read_pages(spark: SparkSession, spec: str):
                      "(network acquisition is out of scope per SURVEY S4-S6)")
 
 
-def _apply_consider(spark: SparkSession, pages, consider_path):
-    """F4 consideration semi-filter at the pages level: derive urim from
-    (url, warc_ts) and keep only listed mementos (broadcast semi-join,
-    bin/*:46-79)."""
-    if not consider_path:
-        return pages
+def _read_consider(spark: SparkSession, consider_path):
     from pyspark.sql import functions as F
 
+    return spark.read.text(consider_path) \
+        .select(F.col("value").alias("urim"))
+
+
+def _apply_consider(spark: SparkSession, pages, consider_path):
+    """F4 consideration semi-filter at the pages level: derive urim from
+    (url, warc_ts) and keep only listed mementos (bin/*:46-79; delegates to
+    operators.curation.consider_only)."""
+    if not consider_path:
+        return pages
+    from .operators.curation import consider_only
     from .operators.timeline import with_memento_identity
 
-    consider = spark.read.text(consider_path) \
-        .select(F.col("value").alias("urim"))
-    return (
-        with_memento_identity(pages)
-        .join(F.broadcast(consider.distinct()), "urim", "left_semi")
-        .drop("urim", "urit")
-    )
+    return consider_only(
+        with_memento_identity(pages), _read_consider(spark, consider_path)
+    ).drop("urim", "urit")
 
 
 def main(argv=None, spark=None):
@@ -190,6 +192,24 @@ def main(argv=None, spark=None):
                         help="availableNow trigger (drain and stop)")
 
     args = parser.parse_args(argv)
+
+    if args.command == "metrics":
+        # pure-filesystem command: no SparkSession needed
+        import json as _json
+        import os as _os
+
+        from .plans.pipeline import pipeline_metrics
+
+        if not _os.path.isdir(args.checkpoint_dir):
+            raise SystemExit(
+                f"no such checkpoint dir: {args.checkpoint_dir}")
+
+        class _Root:
+            root = args.checkpoint_dir
+
+        print(_json.dumps(pipeline_metrics(_Root()), indent=2))
+        return
+
     owns_session = spark is None
     if owns_session:
         spark = get_spark(f"otmt-spark-{args.command}")
@@ -203,6 +223,12 @@ def main(argv=None, spark=None):
         if access_errors is not None:
             from .operators.measures import with_error_kinds
 
+            if args.consider:
+                # the consideration contract covers error rows too
+                from .operators.curation import consider_only
+
+                access_errors = consider_only(
+                    access_errors, _read_consider(spark, args.consider))
             scores = with_error_kinds(scores, memento_access=access_errors)
         if args.output_type == "json":
             save_as_json(scores, result["overall"], args.output,
@@ -273,24 +299,32 @@ def main(argv=None, spark=None):
             raise SystemExit(
                 "filter needs --language and/or --exclude-duplicates")
         if args.language:
+            from pyspark.sql import functions as F
+
+            # the table's lang column wins; rows without one (warc: inputs
+            # carry lang=null) fall back to the language-ID heuristic over
+            # extracted text — mirroring the reference's detected-language
+            # select (bin/select_by_language reads langdetect output)
+            from .operators.textstats import language_id
+            from .operators.timeline import prepare_pages
+
+            enriched = prepare_pages(pages, need_raw_simhash=False,
+                                     need_tf_simhash=False)
+            tagged = language_id(enriched)
+            pages = tagged.withColumn(
+                "lang", F.coalesce(F.col("lang"), F.col("lang_pred")))
             pages = select_by_language(pages, args.language)
         if args.exclude_duplicates:
-            meta = memento_metadata(pages)
+            meta = memento_metadata(pages.select(
+                "url", "warc_ts", "html", "text", "lang"))
             kept = exclude_duplicates(meta, threshold=args.threshold)
             kept.select("urim").write.mode("overwrite").text(args.output)
         else:
             from .operators.timeline import with_memento_identity
 
-            with_memento_identity(pages).select("urim") \
-                .write.mode("overwrite").text(args.output)
-
-    elif args.command == "metrics":
-        import json as _json
-
-        from .plans.pipeline import pipeline_metrics
-
-        store = CheckpointStore(spark, args.checkpoint_dir)
-        print(_json.dumps(pipeline_metrics(store), indent=2))
+            with_memento_identity(
+                pages.select("url", "warc_ts", "html", "text", "lang")
+            ).select("urim").write.mode("overwrite").text(args.output)
 
     elif args.command == "stream":
         from .streaming.ingest import (

@@ -106,6 +106,7 @@ class CheckpointStore:
             "per_partition_rows": sorted(per_partition,
                                          key=lambda p: p["partition_id"]),
             "committed_at_monotonic": time.monotonic_ns(),
+            "committed_at_unix": time.time(),
         }
         # version info first (declares the directory fully written), then the
         # atomic marker swing — the commit point

@@ -5,9 +5,12 @@ The design target is the Iceberg spec ``days(warc_ts) + bucket(N, url)``;
 without the runtime jar the same pruning/co-location is realized with
 parquet partition directories (``crawl_date=...``) and the saveAsTable
 bucketing layer (plans/bucketing.py).  Readers get partition pruning for
-free from Catalyst: a ``warc_ts`` (or ``crawl_date``) predicate reaches the
-file listing, so a day-slice query of a 100 TB table touches one day's
-files, not the table.
+free from Catalyst for predicates on the PARTITION column ``crawl_date``:
+they reach the file listing, so a day-slice query of a 100 TB table touches
+one day's files, not the table.  (Plain parquet has no transform metadata
+tying ``crawl_date`` to ``warc_ts`` — a raw ``warc_ts`` range does NOT
+prune here; that linkage is exactly what Iceberg's ``days(warc_ts)``
+partition transform adds on a cluster with the runtime jar.)
 """
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,9 +29,10 @@ def write_pages_partitioned(pages: DataFrame, path: str,
 
 
 def read_pages_partitioned(spark: SparkSession, path: str) -> DataFrame:
-    """Read back with the derived partition column dropped — same shape as
-    the unpartitioned table; day predicates on ``crawl_date`` (or the
-    equivalent ``warc_ts`` range) prune partitions before any file I/O."""
+    """Read back the partitioned table — the pages columns plus the
+    ``crawl_date`` partition column (keep it: predicates on it prune before
+    any file I/O; drop it explicitly when unioning with unpartitioned
+    frames)."""
     return spark.read.parquet(path)
 
 

@@ -190,6 +190,10 @@ def pipeline_metrics(store) -> list:
             "min_partition_rows": min(per_part) if per_part else None,
             "max_partition_rows": max(per_part) if per_part else None,
             "committed_at_monotonic": marker.get("committed_at_monotonic"),
+            "committed_at_unix": marker.get("committed_at_unix"),
         })
-    out.sort(key=lambda m: m["committed_at_monotonic"] or 0)
+    # wall clock first: monotonic restarts at boot, so a resumed-after-reboot
+    # run would otherwise sort its later stages before the earlier ones
+    out.sort(key=lambda m: (m["committed_at_unix"] or 0,
+                            m["committed_at_monotonic"] or 0))
     return out

@@ -764,12 +764,19 @@ def test_cli_filter_consideration_lists(spark, tmp_path):
         memento_metadata(spark.read.parquet(src))).collect()}
     assert got == want and got
 
+    # mixed-language copy: every other memento is German
+    mixed_src = str(tmp_path / "pages_mixed")
+    spark.read.parquet(src).withColumn(
+        "lang",
+        F.when(F.xxhash64("url", "warc_ts") % 2 == 0, "de").otherwise("en"),
+    ).write.parquet(mixed_src)
     out2 = str(tmp_path / "en_only")
-    main(["filter", "-i", f"pages:{src}", "-o", out2, "-l", "en"],
+    main(["filter", "-i", f"pages:{mixed_src}", "-o", out2, "-l", "en"],
          spark=spark)
     en = {r.value for r in spark.read.text(out2).collect()}
-    n_en = spark.read.parquet(src).filter("lang = 'en'").count()
-    assert len(en) == n_en
+    n_en = spark.read.parquet(mixed_src).filter("lang = 'en'").count()
+    n_all = spark.read.parquet(mixed_src).count()
+    assert len(en) == n_en and 0 < n_en < n_all
 
     with pytest.raises(SystemExit):
         main(["filter", "-i", f"pages:{src}", "-o", out2], spark=spark)

@@ -149,3 +149,27 @@ def test_reference_fixture_warc():
     assert len(rows) > 0
     assert all("text/html" in r[4] for r in rows)
     assert all(not r[0].startswith("dns:") for r in rows)
+
+
+def test_cli_filter_language_from_warc(spark, tmp_path):
+    """filter -l on warc: input (lang=null rows) must fall back to the
+    language-ID heuristic instead of silently emitting an empty list."""
+    from off_topic_memento_toolkit_spark.cli import main
+
+    en = ("the cat and the dog sat in the house for a while with it "
+          "and the mouse was there too for the day") * 2
+    de = ("der hund und die katze ist nicht mit der maus in das haus "
+          "und sie war auch nicht da") * 2
+    raw = (_record("response", "http://a.example/en",
+                   "2016-01-21T00:00:00Z",
+                   f"<html><body><p>{en}</p></body></html>".encode())
+           + _record("response", "http://a.example/de",
+                     "2016-01-21T00:00:00Z",
+                     f"<html><body><p>{de}</p></body></html>".encode()))
+    (tmp_path / "c.warc.gz").write_bytes(gzip.compress(raw))
+    out = str(tmp_path / "en_list")
+
+    main(["filter", "-i", f"warc:{tmp_path}/*.warc.gz", "-o", out,
+          "-l", "en"], spark=spark)
+    got = {r.value for r in spark.read.text(out).collect()}
+    assert got == {"from-warc::20160121000000::http://a.example/en"}
