@@ -295,6 +295,67 @@ j AS (
 SELECT id_a, id_b, round(sim, 6) AS jaccard_sim FROM j WHERE sim >= 0.8"""
 
 
+def q_verified_dup_pairs_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LCS (suffix-array-equivalent) verify channel, hash-checked: the
+    package computes the longest-common-substring ratio with rolling-hash +
+    binary search; the oracle re-derives the exact LCS relationally — the
+    classic DP decomposes per diagonal into a reset-on-mismatch running
+    count, which is ONE window max over (pair, diagonal), no recursion."""
+    from .operators.lsh import minhash_candidate_pairs
+    from .operators.timeline import prepare_pages
+    from .operators.verify import verified_pairs_lcs
+
+    docs = prepare_pages(_pages(spark, sf_dir),
+                         need_raw_simhash=False, need_tf_simhash=False)
+    docs = docs.select(F.col("urim").alias("id"), "text", "tokens")
+    candidates = minhash_candidate_pairs(docs, id_col="id",
+                                         tokens_col="tokens")
+    candidates = _materialize(candidates, "lcs_candidates")
+    _materialize(docs.select("id", "text"), "lcs_docs")
+    verified = verified_pairs_lcs(candidates, docs, id_col="id",
+                                  text_col="text", min_ratio=0.6)
+    return verified.withColumn("lcs_ratio", F.round("lcs_ratio", 6))
+
+
+SQL_VERIFIED_LCS = f"""
+WITH c AS (SELECT id_a, id_b, row_number() OVER (ORDER BY id_a, id_b) AS pid
+           FROM {_mat('lcs_candidates')}),
+d AS (SELECT id, text FROM {_mat('lcs_docs')}),
+p AS (
+  SELECT c.pid AS pid, c.id_a AS id_a, c.id_b AS id_b,
+         a.text AS ta, b.text AS tb
+  FROM c JOIN d a ON c.id_a = a.id JOIN d b ON c.id_b = b.id
+),
+ia AS (SELECT pid, ta, unnest(range(1, length(ta) + 1)) AS i FROM p),
+jb AS (SELECT pid, tb, unnest(range(1, length(tb) + 1)) AS j FROM p),
+cells AS (
+  SELECT ia.pid AS pid, ia.i AS i, jb.j AS j,
+         substr(ia.ta, ia.i::INT, 1) = substr(jb.tb, jb.j::INT, 1) AS m
+  FROM ia JOIN jb ON ia.pid = jb.pid
+),
+runs AS (
+  SELECT pid,
+         CASE WHEN m THEN
+           i - coalesce(
+             max(CASE WHEN NOT m THEN i END) OVER (
+               PARTITION BY pid, i - j ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             greatest(1, i - j + 1) - 1)
+         ELSE 0 END AS run
+  FROM cells
+),
+lcs AS (
+  SELECT p.pid AS pid, p.id_a AS id_a, p.id_b AS id_b,
+         CASE WHEN least(length(p.ta), length(p.tb)) = 0 THEN 0.0
+              ELSE coalesce(max(r.run), 0) * 1.0
+                   / least(length(p.ta), length(p.tb)) END AS ratio
+  FROM p LEFT JOIN runs r ON p.pid = r.pid
+  GROUP BY p.pid, p.id_a, p.id_b, p.ta, p.tb
+)
+SELECT id_a, id_b, round(ratio, 6) AS lcs_ratio FROM lcs
+WHERE ratio >= 0.6"""
+
+
 # ------------------------------------------------- embedding_near_dups
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,6 +835,7 @@ def mat_queries() -> dict:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "verified_dup_pairs": q_verified_dup_pairs,
+        "verified_dup_pairs_lcs": q_verified_dup_pairs_lcs,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "curation_story": q_curation_story,
@@ -791,6 +853,7 @@ def mat_oracle_sql() -> dict:
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         "verified_dup_pairs": SQL_VERIFIED_PAIRS,
+        "verified_dup_pairs_lcs": SQL_VERIFIED_LCS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "dedup_clusters_cc": SQL_DEDUP_CC,
         "curation_story": SQL_CURATION_STORY,
