@@ -824,6 +824,81 @@ SELECT urit, urim, 'nlevenshtein' AS measure,
 FROM d"""
 
 
+# ------------------------------------------------------ lsi_vs_first
+
+def q_lsi_vs_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11 gensim_lsi, hash-checked on the isometry domain: when a timeline
+    has at most ``num_topics`` documents, k = min(num_topics, min(X.shape))
+    ≥ rank(X), so projecting onto the top-k right-singular basis is an
+    ISOMETRY of the row space and LSI cosine equals raw count-vector cosine
+    — plain aggregation SQL (the same identity the analytic golden test
+    pins).  The domain filter (≤ 10 docs per timeline) is applied
+    identically on both sides; at sf0.01 every timeline qualifies (10 docs
+    each), so the whole measure is checked."""
+    from .operators.measures import score_timemap_measures
+    from .operators.timeline import prepare_pages
+
+    pages = _pages(spark, sf_dir)
+    enriched = prepare_pages(pages, need_raw_simhash=False,
+                             need_tf_simhash=False)
+    _materialize(enriched.select("urit", "urim", "warc_ts", "tokens"),
+                 "lsi_inputs")
+    eligible = (enriched.groupBy("urit").count()
+                .filter(F.col("count") <= 10).select("urit"))
+    scores = score_timemap_measures(pages, measures=("gensim_lsi",))
+    return (
+        scores.join(eligible, "urit")
+        .select("urit", "urim", "measure",
+                F.round("comparison_score", 6).alias("comparison_score"),
+                "topic_status")
+    )
+
+
+SQL_LSI = f"""
+WITH li AS (SELECT * FROM {_mat('lsi_inputs')}),
+eligible AS (SELECT urit FROM li GROUP BY urit HAVING count(*) <= 10),
+l AS (SELECT li.* FROM li JOIN eligible e ON li.urit = e.urit),
+firsts AS (
+  SELECT urit, urim AS f_urim
+  FROM (SELECT urit, urim, row_number() OVER (PARTITION BY urit
+                                              ORDER BY warc_ts, urim) AS rn
+        FROM l) _f
+  WHERE rn = 1
+),
+tf AS (
+  SELECT l.urit AS urit, l.urim AS urim, t.token AS token, count(*) AS cnt
+  FROM l, unnest(l.tokens) AS t(token)
+  GROUP BY l.urit, l.urim, t.token
+),
+norms AS (
+  SELECT urit, urim, sqrt(sum(cnt * cnt)) AS nrm FROM tf GROUP BY urit, urim
+),
+dots AS (
+  SELECT a.urit AS urit, a.urim AS urim, sum(a.cnt * b.cnt) AS dot
+  FROM tf a
+  JOIN firsts f ON a.urit = f.urit
+  JOIN tf b ON b.urit = a.urit AND b.urim = f.f_urim AND b.token = a.token
+  GROUP BY a.urit, a.urim
+),
+sims AS (
+  SELECT m.urit AS urit, m.urim AS urim,
+         coalesce(d.dot, 0.0) /
+         ((CASE WHEN coalesce(na.nrm, 0) = 0 THEN 1.0 ELSE na.nrm END) *
+          (CASE WHEN coalesce(nf.nrm, 0) = 0 THEN 1.0 ELSE nf.nrm END))
+           AS score
+  FROM (SELECT DISTINCT urit, urim FROM l) m
+  JOIN firsts f ON m.urit = f.urit
+  LEFT JOIN dots d ON d.urit = m.urit AND d.urim = m.urim
+  LEFT JOIN norms na ON na.urit = m.urit AND na.urim = m.urim
+  LEFT JOIN norms nf ON nf.urit = m.urit AND nf.urim = f.f_urim
+)
+SELECT urit, urim, 'gensim_lsi' AS measure,
+       round(score, 6) AS comparison_score,
+       CASE WHEN score < 0.07 THEN 'off-topic' ELSE 'on-topic' END
+         AS topic_status
+FROM sims"""
+
+
 # ---------------------------------------------------------------- registry
 
 def mat_queries() -> dict:
@@ -841,6 +916,7 @@ def mat_queries() -> dict:
         "curation_story": q_curation_story,
         "offtopic_measures_core": q_offtopic_measures_core,
         "levenshtein_vs_first": q_levenshtein_vs_first,
+        "lsi_vs_first": q_lsi_vs_first,
     }
 
 
@@ -859,4 +935,5 @@ def mat_oracle_sql() -> dict:
         "curation_story": SQL_CURATION_STORY,
         "offtopic_measures_core": SQL_MEASURES_CORE,
         "levenshtein_vs_first": SQL_LEVENSHTEIN,
+        "lsi_vs_first": SQL_LSI,
     }
