@@ -311,8 +311,22 @@ def q_verified_dup_pairs_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = minhash_candidate_pairs(docs, id_col="id",
                                          tokens_col="tokens")
     candidates = _materialize(candidates, "lcs_candidates")
-    _materialize(docs.select("id", "text"), "lcs_docs")
-    verified = verified_pairs_lcs(candidates, docs, id_col="id",
+    docs_rb = _materialize(docs.select("id", "text"), "lcs_docs")
+    # symmetric oracle-domain cap: the SQL twin materializes the full
+    # len_a x len_b cell grid per pair, so both sides restrict to pairs
+    # whose grid fits (4M cells ≈ two 2000-char pages); drops are a domain
+    # bound, not a recall claim — the Spark operator itself has no cap
+    lens = docs_rb.select("id", F.length("text").alias("_len"))
+    capped = (
+        candidates
+        .join(lens.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("_len", "_la"), "id_a")
+        .join(lens.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("_len", "_lb"), "id_b")
+        .filter(F.col("_la") * F.col("_lb") <= 4_000_000)
+        .select("id_a", "id_b")
+    )
+    verified = verified_pairs_lcs(capped, docs_rb, id_col="id",
                                   text_col="text", min_ratio=0.6)
     return verified.withColumn("lcs_ratio", F.round("lcs_ratio", 6))
 
@@ -325,6 +339,7 @@ p AS (
   SELECT c.pid AS pid, c.id_a AS id_a, c.id_b AS id_b,
          a.text AS ta, b.text AS tb
   FROM c JOIN d a ON c.id_a = a.id JOIN d b ON c.id_b = b.id
+  WHERE length(a.text) * length(b.text) <= 4000000
 ),
 ia AS (SELECT pid, ta, unnest(range(1, length(ta) + 1)) AS i FROM p),
 jb AS (SELECT pid, tb, unnest(range(1, length(tb) + 1)) AS j FROM p),
@@ -759,12 +774,20 @@ def q_levenshtein_vs_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _pages(spark, sf_dir)
     enriched = prepare_pages(pages, need_raw_simhash=False,
                              need_tf_simhash=False)
-    _materialize(
-        enriched.select("urit", "urim", "warc_ts", "tokens"),
+    inputs = _materialize(
+        enriched.select("urit", "urim", "warc_ts", "tokens",
+                        F.length("text").alias("text_len")),
         "lev_inputs",
     )
+    # eligibility derives from the READBACK (no re-run of the UDF lineage):
+    # remap domain (pair vocab ≤ 127) + the error-free domain — timelines
+    # where every memento has non-empty text, i.e. exactly where the kernel
+    # emits no FIRST_EMPTY / null-text error rows (SQL mirrors both filters)
+    clean = (inputs.groupBy("urit")
+             .agg(F.min(F.coalesce("text_len", F.lit(-1))).alias("_min_len"))
+             .filter(F.col("_min_len") > 0).select("urit"))
     eligible = (
-        enriched
+        inputs.join(clean, "urit")
         .withColumn("first_tokens", first_over_timeline("tokens"))
         .withColumn(
             "_vocab",
@@ -783,7 +806,10 @@ def q_levenshtein_vs_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LEVENSHTEIN = f"""
-WITH li AS (SELECT * FROM {_mat('lev_inputs')}),
+WITH li0 AS (SELECT * FROM {_mat('lev_inputs')}),
+clean AS (SELECT urit FROM li0 GROUP BY urit
+          HAVING min(coalesce(text_len, -1)) > 0),
+li AS (SELECT li0.* FROM li0 JOIN clean USING (urit)),
 firsts AS (
   SELECT urit, urim AS f_urim, tokens AS f_tokens
   FROM (SELECT *, row_number() OVER (PARTITION BY urit
@@ -841,10 +867,22 @@ def q_lsi_vs_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _pages(spark, sf_dir)
     enriched = prepare_pages(pages, need_raw_simhash=False,
                              need_tf_simhash=False)
-    _materialize(enriched.select("urit", "urim", "warc_ts", "tokens"),
-                 "lsi_inputs")
-    eligible = (enriched.groupBy("urit").count()
-                .filter(F.col("count") <= 10).select("urit"))
+    inputs = _materialize(
+        enriched.select("urit", "urim", "warc_ts", "tokens",
+                        F.length("text").alias("text_len")),
+        "lsi_inputs")
+    # eligibility from the READBACK: isometry domain (≤ num_topics docs) +
+    # the error-free domain — every memento has non-empty text (no
+    # FIRST_EMPTY/null-text rows) and the timeline has a non-empty
+    # vocabulary (no empty-vocabulary ValueError) — mirrored in SQL
+    eligible = (
+        inputs.groupBy("urit")
+        .agg(F.count("*").alias("_n"),
+             F.min(F.coalesce("text_len", F.lit(-1))).alias("_min_len"),
+             F.max(F.size("tokens")).alias("_max_tok"))
+        .filter((F.col("_n") <= 10) & (F.col("_min_len") > 0)
+                & (F.col("_max_tok") > 0))
+        .select("urit"))
     scores = score_timemap_measures(pages, measures=("gensim_lsi",))
     return (
         scores.join(eligible, "urit")
@@ -856,7 +894,10 @@ def q_lsi_vs_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LSI = f"""
 WITH li AS (SELECT * FROM {_mat('lsi_inputs')}),
-eligible AS (SELECT urit FROM li GROUP BY urit HAVING count(*) <= 10),
+eligible AS (SELECT urit FROM li GROUP BY urit
+             HAVING count(*) <= 10
+                AND min(coalesce(text_len, -1)) > 0
+                AND max(len(tokens)) > 0),
 l AS (SELECT li.* FROM li JOIN eligible e ON li.urit = e.urit),
 firsts AS (
   SELECT urit, urim AS f_urim
@@ -886,7 +927,7 @@ sims AS (
          ((CASE WHEN coalesce(na.nrm, 0) = 0 THEN 1.0 ELSE na.nrm END) *
           (CASE WHEN coalesce(nf.nrm, 0) = 0 THEN 1.0 ELSE nf.nrm END))
            AS score
-  FROM (SELECT DISTINCT urit, urim FROM l) m
+  FROM (SELECT urit, urim FROM l) m
   JOIN firsts f ON m.urit = f.urit
   LEFT JOIN dots d ON d.urit = m.urit AND d.urim = m.urim
   LEFT JOIN norms na ON na.urit = m.urit AND na.urim = m.urim
