@@ -104,8 +104,10 @@ def _docs_cte(d: _Dialect) -> str:
     """documents → url-group timelines: grp = doc_id % 50, order = doc_id."""
     return f"""
 docs AS (
-  SELECT doc_id, doc_id % 50 AS grp, length(text) AS n_chars,
-         {d.split_ws('text')} AS toks, text
+  SELECT doc_id, doc_id % 50 AS grp,
+         length(coalesce(text, '')) AS n_chars,
+         {d.split_ws("coalesce(text, '')")} AS toks,
+         coalesce(text, '') AS text
   FROM documents
 ),
 firsts AS (
@@ -126,7 +128,8 @@ ordered AS (
          cast(n_chars % 50 AS string) AS fp,
          row_number() OVER (ORDER BY doc_id) - 1 AS i,
          count(*) OVER () AS n
-  FROM (SELECT doc_id, length(text) AS n_chars FROM documents)
+  FROM (SELECT doc_id, length(coalesce(text, '')) AS n_chars
+        FROM documents)
 ),
 params AS (
   SELECT doc_id, n_chars, fp, i, n,
@@ -177,8 +180,9 @@ GROUP BY d.grp, f.first_id"""
 def q_bytecount_vs_first(d: _Dialect) -> str:
     return f"""WITH {_docs_cte(d)}
 SELECT d.doc_id AS doc_id,
-       round(d.n_chars / fd.fn - 1.0, 6) AS bytecount,
-       CASE WHEN d.n_chars / fd.fn - 1.0 < -0.43
+       coalesce(round(d.n_chars / nullif(fd.fn, 0) - 1.0, 6),
+                cast('NaN' AS double)) AS bytecount,
+       CASE WHEN d.n_chars / nullif(fd.fn, 0) - 1.0 < -0.43
             THEN 'off-topic' ELSE 'on-topic' END AS topic_status
 FROM docs d JOIN fdocs fd ON d.grp = fd.grp"""
 
@@ -240,7 +244,7 @@ def q_overall_label(d: _Dialect) -> str:
     return f"""WITH {_docs_cte(d)},
 scored AS (
   SELECT d.doc_id AS doc_id,
-         d.n_chars / fd.fn - 1.0 AS bytecount,
+         d.n_chars / nullif(fd.fn, 0) - 1.0 AS bytecount,
          {d.alen('d.toks')} / {d.alen('fd.ftoks')} - 1.0 AS wordcount,
          1.0 - {d.inter_n(ds, fs)} / {d.union_n(ds, fs)} AS jaccard
   FROM docs d JOIN fdocs fd ON d.grp = fd.grp
@@ -252,7 +256,7 @@ FROM scored"""
 
 
 def q_exact_dup_groups(d: _Dialect) -> str:
-    toks = d.split_ws("lower(text)")
+    toks = d.split_ws("lower(coalesce(text, ''))")
     prefix = d.prefix_join("toks", 3)
     return f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -295,7 +299,7 @@ _EN_MARKERS = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"
 
 
 def q_language_id(d: _Dialect) -> str:
-    toks = d.split_ws("lower(text)")
+    toks = d.split_ws("lower(coalesce(text, ''))")
     hits = d.filter_in("toks", _EN_MARKERS)
     return f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -310,16 +314,20 @@ FROM r"""
 
 
 def q_quality_features(d: _Dialect) -> str:
-    toks = d.split_ws("text")
-    strip_punct = d.regexp_replace_all("text", r"[^\w\s]", "")
-    strip_ws = d.regexp_replace_all("text", r"\s+", "")
+    toks = d.split_ws("coalesce(text, '')")
+    strip_punct = d.regexp_replace_all("coalesce(text, '')", r"[^\w\s]", "")
+    strip_ws = d.regexp_replace_all("coalesce(text, '')", r"\s+", "")
     return f"""
 WITH t AS (
-  SELECT doc_id, text, length(text) AS n_chars, {toks} AS toks FROM documents
+  SELECT doc_id, coalesce(text, '') AS text,
+         length(coalesce(text, '')) AS n_chars, {toks} AS toks
+  FROM documents
 )
 SELECT doc_id, n_chars,
        {d.alen('toks')} AS n_tokens_ws,
-       round((n_chars - length({strip_punct})) / n_chars, 6) AS punct_ratio,
+       coalesce(round((n_chars - length({strip_punct}))
+                      / nullif(n_chars, 0), 6),
+                cast('NaN' AS double)) AS punct_ratio,
        round({d.alen(d.adistinct('toks'))} / {d.alen('toks')}, 6)
          AS distinct_token_ratio,
        round(length({strip_ws}) / {d.alen('toks')}, 6) AS mean_word_len
@@ -329,13 +337,14 @@ FROM t"""
 def q_token_counts(d: _Dialect) -> str:
     return f"""
 SELECT doc_id,
-       {d.alen(d.split_ws('text'))} AS tokens_whitespace,
-       {d.regexp_count('text', '[A-Za-z]+|[0-9]|[^ A-Za-z0-9]')} AS tokens_bpe_ish
+       {d.alen(d.split_ws("coalesce(text, '')"))} AS tokens_whitespace,
+       {d.regexp_count("coalesce(text, '')",
+                       '[A-Za-z]+|[0-9]|[^ A-Za-z0-9]')} AS tokens_bpe_ish
 FROM documents"""
 
 
 def q_fingerprint(d: _Dialect) -> str:
-    normalized = d.regexp_replace_all("lower(trim(text))", r"\s+", " ")
+    normalized = d.regexp_replace_all("lower(trim(coalesce(text, '')))", r"\s+", " ")
     return f"""
 SELECT doc_id, md5({normalized}) AS fingerprint
 FROM documents"""
@@ -520,7 +529,8 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 3600)
          .alias("warc_ts"),
         F.encode(
-            F.concat(F.lit("<html><body><p>"), F.col("text"),
+            F.concat(F.lit("<html><body><p>"),
+                     F.coalesce(F.col("text"), F.lit("")),
                      F.lit("</p></body></html>")),
             "utf-8",
         ).alias("html"),

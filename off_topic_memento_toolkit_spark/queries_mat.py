@@ -83,7 +83,8 @@ def q_streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAMING_DEDUP = f"""
-WITH p AS (SELECT * FROM {_mat('stream_pages')}),
+WITH p AS (SELECT * FROM {_mat('stream_pages')}
+           WHERE raw_simhash IS NOT NULL),
 r AS (
   SELECT url, urim, urit, raw_simhash, n_tokens,
          row_number() OVER (PARTITION BY url, raw_simhash
@@ -139,7 +140,8 @@ def q_streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAMING_STATEFUL = f"""
-WITH p AS (SELECT * FROM {_mat('stateful_pages')}),
+WITH p AS (SELECT * FROM {_mat('stateful_pages')}
+           WHERE raw_simhash IS NOT NULL),
 firstseen AS (
   SELECT url, urim, warc_ts, raw_simhash FROM (
     SELECT p.*, row_number() OVER (PARTITION BY url, raw_simhash
@@ -617,16 +619,23 @@ def q_offtopic_measures_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _pages(spark, sf_dir)
     enriched = prepare_pages(pages)
-    _materialize(
+    inputs = _materialize(
         enriched.select(
             "urit", "urim", "warc_ts", "raw_len", "tokens", "n_tokens",
             "raw_simhash", "tf_simhash",
             tokenize_lower_udf(F.col("text")).alias("tokens_cos"),
+            F.length("text").alias("text_len"),
         ),
         "measure_inputs",
     )
+    # error-free oracle domain, symmetric with the SQL twin: timelines where
+    # every memento has non-empty text emit no FIRST_EMPTY / null-text error
+    # rows (degenerate-document robustness; see the degenerate-SF check)
+    clean = (inputs.groupBy("urit")
+             .agg(F.min(F.coalesce("text_len", F.lit(-1))).alias("_min_len"))
+             .filter(F.col("_min_len") > 0).select("urit"))
     scores = score_timemap_measures(pages, measures=CORE_MEASURES)
-    return scores.select(
+    return scores.join(clean, "urit").select(
         "urit", "urim", "measure",
         F.round("comparison_score", 6).alias("comparison_score"),
         "topic_status",
@@ -678,7 +687,10 @@ SELECT urit, urim, 'cosine' AS measure,
 FROM cosfinal""")
     union = "\nUNION ALL".join(arms)
     return f"""
-WITH mi AS (SELECT * FROM {_mat('measure_inputs')}),
+WITH mi0 AS (SELECT * FROM {_mat('measure_inputs')}),
+clean AS (SELECT urit FROM mi0 GROUP BY urit
+          HAVING min(coalesce(text_len, -1)) > 0),
+mi AS (SELECT mi0.* FROM mi0 JOIN clean USING (urit)),
 firsts AS (
   SELECT urit, urim AS f_urim, raw_len AS f_raw_len, tokens AS f_tokens,
          n_tokens AS f_n_tokens, raw_simhash AS f_raw_simhash,

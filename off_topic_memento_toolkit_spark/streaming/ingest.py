@@ -148,6 +148,10 @@ def streaming_sequential_dedup(
 
     return (
         enriched.select("url", "warc_ts", "urim", "raw_simhash")
+        # error rows (null simhash: unparseable/absent content) carry no
+        # dedup signal and would crash the int() in the kernel — same
+        # exclusion the batch D1 operator's window semantics imply
+        .filter(F.col("raw_simhash").isNotNull())
         .groupBy("url")
         .applyInPandasWithState(
             dedup_fn, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA,
@@ -164,7 +168,8 @@ def streaming_exact_dedup_batch_equivalent(pages: DataFrame) -> DataFrame:
     enriched = prepare_pages(pages)
     window = Window.partitionBy("url", "raw_simhash").orderBy("warc_ts", "urim")
     return (
-        enriched.withColumn("_occ", F.row_number().over(window))
+        enriched.filter(F.col("raw_simhash").isNotNull())
+        .withColumn("_occ", F.row_number().over(window))
         .filter(F.col("_occ") == 1)
         .drop("_occ")
     )
