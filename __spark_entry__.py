@@ -6,10 +6,14 @@ sf0.001 ``documents`` parquet: per-memento scores vs the first memento of
 each timeline, per-measure labels, overall OR.
 
 ``queries()`` — one entry per implemented operator family (SURVEY §2):
-oracle-checked queries are single logical SQL texts rendered for Spark SQL,
-with ``oracle_sql()`` returning the same text rendered for DuckDB; UDF-kernel
-operators (simhash, minhash-LSH, connected components, the full measure
-suite) are rows-only entries.
+relational queries are single logical SQL texts rendered for Spark SQL, with
+``oracle_sql()`` returning the same text rendered for DuckDB; UDF-kernel
+operators (simhash, minhash-LSH, connected components, the measure suite)
+are oracle-checked via materialized intermediates (queries_mat.py).  Every
+entry carries an oracle — including the full 11-measure suite (composed
+per-measure domains) and gensim_lda (coverage + contract invariants; its
+values have no parity target since the reference declares LDA
+non-deterministic).
 """
 
 from __future__ import annotations

@@ -24,9 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ["OTMT_MATERIALIZE"] = "0"
 
 from off_topic_memento_toolkit_spark.queries import (  # noqa: E402
+    full_suite_query,
     make_sql_query,
     pages_from_documents,
-    rows_only_queries,
 )
 from off_topic_memento_toolkit_spark.queries_mat import mat_queries  # noqa: E402
 from off_topic_memento_toolkit_spark.session import get_spark  # noqa: E402
@@ -40,10 +40,12 @@ def run(sf_dir: str, cpus: str):
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    rows_only = rows_only_queries()
     mat = mat_queries()
     headline = {
-        "offtopic_measures_full": rows_only["offtopic_measures_full"],
+        # the COMPLETE 12-measure suite in one plan — byte-identical workload
+        # to every prior round's reading (the battery's hash-checked
+        # offtopic_measures_full entry is a domain-joined 11-measure variant)
+        "offtopic_measures_full": full_suite_query,
         "dedup_clusters_cc": mat["dedup_clusters_cc"],
         "curation_story": mat["curation_story"],
         "minhash_lsh_pairs": mat["minhash_lsh_pairs"],

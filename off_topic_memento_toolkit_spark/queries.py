@@ -539,25 +539,28 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rows_only_queries() -> dict:
-    """Only the genuinely non-SQL-expressible remainder stays rows-only: the
-    full 12-measure suite (the iterative gensim kernels have no DuckDB
-    rendition).  10 of its 12 measures are hash-checked separately —
-    queries_mat.offtopic_measures_core (8 relational incl. cosine) and
-    queries_mat.q_levenshtein_vs_first (token-seq lev/nlev via the
-    single-byte remap oracle)."""
+# the COMPLETE 12-measure registry (otmt/timemap_measures.py:944-957)
+ALL_MEASURES = ("bytecount", "wordcount", "jaccard", "sorensen",
+                "tfintersection", "levenshtein", "nlevenshtein",
+                "raw_simhash", "tf_simhash", "cosine", "gensim_lsi",
+                "gensim_lda")
+
+
+def full_suite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 12 measures in one plan — bench.py's workhorse (kept byte-stable
+    across rounds for timing continuity; the BATTERY's hash-checked
+    ``offtopic_measures_full`` is queries_mat.q_offtopic_measures_full)."""
     from .operators.measures import score_timemap_measures
 
-    def q_offtopic_measures_full(spark, sf_dir):
-        # the COMPLETE 12-measure registry (otmt/timemap_measures.py:944-957);
-        # gensim_lda is the labeled seeded stand-in (reference's own tests
-        # call LDA non-deterministic, so it has no parity target anywhere)
-        return score_timemap_measures(
-            pages_from_documents(spark, sf_dir),
-            measures=("bytecount", "wordcount", "jaccard", "sorensen",
-                      "tfintersection", "levenshtein", "nlevenshtein",
-                      "raw_simhash", "tf_simhash", "cosine", "gensim_lsi",
-                      "gensim_lda"),
-        )
+    return score_timemap_measures(
+        pages_from_documents(spark, sf_dir), measures=ALL_MEASURES)
 
-    return {"offtopic_measures_full": q_offtopic_measures_full}
+
+def rows_only_queries() -> dict:
+    """Nothing is rows-only anymore: the 11 deterministic measures are
+    hash-checked by the composed ``offtopic_measures_full`` (queries_mat) and
+    K12 gensim_lda — whose VALUES have no parity target anywhere (the
+    reference's own tests declare LDA non-deterministic) — is hash-checked on
+    its checkable surface (row coverage + contract invariants) by
+    ``gensim_lda_contract`` (queries_mat)."""
+    return {}

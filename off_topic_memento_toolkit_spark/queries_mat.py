@@ -952,6 +952,146 @@ SELECT urit, urim, 'gensim_lsi' AS measure,
 FROM sims"""
 
 
+# ------------------------------------------- offtopic_measures_full (11)
+
+FULL_MEASURES = CORE_MEASURES + ("levenshtein", "nlevenshtein", "gensim_lsi")
+
+
+def q_offtopic_measures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE deterministic measure suite — 11 of the reference's 12
+    measures (otmt/timemap_measures.py:944-957; gensim_lda, which the
+    reference's own tests declare non-deterministic, is its own labeled
+    smoke entry) — in ONE plan (single keyed exchange, fused
+    ArrowEvalPython), hash-checked end-to-end.
+
+    Each measure's rows are restricted to its component oracle's domain
+    (clean timelines for the 8 relational measures; + pair-vocab ≤ 127 for
+    the levenshtein byte-remap; + the ≤ num_topics isometry for LSI) via one
+    inner join against a per-(urit, urim, measure) domain table derived from
+    the SAME materialized readback the component oracles use.  The oracle is
+    the three component SQLs composed by UNION ALL.  At sf0.01 every domain
+    covers the whole corpus, so the entire suite is value-checked."""
+    from .functions.udfs import tokenize_lower_udf
+    from .operators.measures import score_timemap_measures
+    from .operators.timeline import first_over_timeline, prepare_pages
+
+    pages = _pages(spark, sf_dir)
+    enriched = prepare_pages(pages)
+    inputs = _materialize(
+        enriched.select(
+            "urit", "urim", "warc_ts", "raw_len", "tokens", "n_tokens",
+            "raw_simhash", "tf_simhash",
+            tokenize_lower_udf(F.col("text")).alias("tokens_cos"),
+            F.length("text").alias("text_len"),
+        ),
+        "measure_inputs",
+    )
+    # the lev/lsi component SQLs read their own tables; feed them from the
+    # READBACK (parquet re-select, no second run of the UDF lineage)
+    _materialize(
+        inputs.select("urit", "urim", "warc_ts", "tokens", "text_len"),
+        "lev_inputs")
+    _materialize(
+        inputs.select("urit", "urim", "warc_ts", "tokens", "text_len"),
+        "lsi_inputs")
+
+    stats = (
+        inputs.groupBy("urit")
+        .agg(F.count("*").alias("_n"),
+             F.min(F.coalesce("text_len", F.lit(-1))).alias("_min_len"),
+             F.max(F.size("tokens")).alias("_max_tok"))
+    )
+    per_row = (
+        inputs
+        .withColumn("_first_tokens", first_over_timeline("tokens"))
+        .withColumn("_vocab", F.size(F.array_distinct(
+            F.array_union("tokens", "_first_tokens"))))
+        .join(F.broadcast(stats), "urit")
+    )
+    clean = F.col("_min_len") > 0
+    empty = F.array().cast("array<string>")
+    measures_arr = F.concat(
+        F.when(clean, F.array(*[F.lit(m) for m in CORE_MEASURES]))
+         .otherwise(empty),
+        F.when(clean & (F.col("_vocab") <= 127),
+               F.array(F.lit("levenshtein"), F.lit("nlevenshtein")))
+         .otherwise(empty),
+        F.when(clean & (F.col("_n") <= 10) & (F.col("_max_tok") > 0),
+               F.array(F.lit("gensim_lsi"))).otherwise(empty),
+    )
+    domain = per_row.select(
+        "urit", "urim", F.explode(measures_arr).alias("measure"))
+
+    scores = score_timemap_measures(pages, measures=FULL_MEASURES)
+    return (
+        scores.join(domain, ["urit", "urim", "measure"])
+        .select("urit", "urim", "measure",
+                F.round("comparison_score", 6).alias("comparison_score"),
+                "topic_status")
+    )
+
+
+SQL_MEASURES_FULL = (
+    f"SELECT * FROM ({SQL_MEASURES_CORE})"
+    f"\nUNION ALL\nSELECT * FROM ({SQL_LEVENSHTEIN})"
+    f"\nUNION ALL\nSELECT * FROM ({SQL_LSI})"
+)
+
+
+# ------------------------------------------------- gensim_lda_contract
+
+def q_gensim_lda_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12 gensim_lda — the one measure with NO value-parity target anywhere
+    (the reference's own tests declare gensim LDA non-deterministic,
+    tests/timemap_measures_test.py:35-41; the package ships a labeled
+    deterministic seeded stand-in).  What IS checkable is hash-checked here:
+    row COVERAGE (exactly one gensim_lda row per memento of every timeline
+    in the error-free, non-empty-vocabulary domain) and the kernel's
+    CONTRACT invariants — the topic-mixture cosine lands in [0, 1] and the
+    off/on-topic label is exactly score < 0.15 (MEASURE_REGISTRY).  The
+    oracle re-derives the same (row set, TRUE, TRUE) relation from the
+    materialized readback."""
+    from .operators.measures import score_timemap_measures
+    from .operators.timeline import prepare_pages
+
+    pages = _pages(spark, sf_dir)
+    enriched = prepare_pages(pages, need_raw_simhash=False,
+                             need_tf_simhash=False)
+    inputs = _materialize(
+        enriched.select("urit", "urim", F.length("text").alias("text_len"),
+                        F.size("tokens").alias("n_tok")),
+        "lda_inputs")
+    eligible = (
+        inputs.groupBy("urit")
+        .agg(F.min(F.coalesce("text_len", F.lit(-1))).alias("_min_len"),
+             F.max("n_tok").alias("_max_tok"))
+        .filter((F.col("_min_len") > 0) & (F.col("_max_tok") > 0))
+        .select("urit"))
+    scores = score_timemap_measures(pages, measures=("gensim_lda",))
+    # FP dot products overshoot 1.0 by ~1 ulp — round before the range check
+    s = F.round(F.col("comparison_score"), 9)
+    return (
+        scores.join(eligible, "urit")
+        .select(
+            "urit", "urim", "measure",
+            ((s >= 0.0) & (s <= 1.0)).alias("score_in_unit_interval"),
+            (F.col("topic_status")
+             == F.when(F.col("comparison_score") < 0.15,
+                       "off-topic").otherwise("on-topic"))
+            .alias("label_consistent"),
+        )
+    )
+
+
+SQL_LDA_CONTRACT = f"""
+WITH li AS (SELECT * FROM {_mat('lda_inputs')}),
+eligible AS (SELECT urit FROM li GROUP BY urit
+             HAVING min(coalesce(text_len, -1)) > 0 AND max(n_tok) > 0)
+SELECT li.urit AS urit, li.urim AS urim, 'gensim_lda' AS measure,
+       TRUE AS score_in_unit_interval, TRUE AS label_consistent
+FROM li JOIN eligible e ON li.urit = e.urit"""
+
+
 # ---------------------------------------------------------------- registry
 
 def mat_queries() -> dict:
@@ -970,6 +1110,8 @@ def mat_queries() -> dict:
         "offtopic_measures_core": q_offtopic_measures_core,
         "levenshtein_vs_first": q_levenshtein_vs_first,
         "lsi_vs_first": q_lsi_vs_first,
+        "offtopic_measures_full": q_offtopic_measures_full,
+        "gensim_lda_contract": q_gensim_lda_contract,
     }
 
 
@@ -989,4 +1131,6 @@ def mat_oracle_sql() -> dict:
         "offtopic_measures_core": SQL_MEASURES_CORE,
         "levenshtein_vs_first": SQL_LEVENSHTEIN,
         "lsi_vs_first": SQL_LSI,
+        "offtopic_measures_full": SQL_MEASURES_FULL,
+        "gensim_lda_contract": SQL_LDA_CONTRACT,
     }

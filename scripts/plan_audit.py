@@ -33,8 +33,8 @@ def summarize(plan: str) -> dict:
 
 def main():
     from off_topic_memento_toolkit_spark.queries import (
+        full_suite_query,
         make_sql_query,
-        rows_only_queries,
     )
     from off_topic_memento_toolkit_spark.queries_mat import mat_queries
     from off_topic_memento_toolkit_spark.session import get_spark
@@ -43,9 +43,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     mat = mat_queries()
-    rows_only = rows_only_queries()
     targets = {
-        "offtopic_measures_full": rows_only["offtopic_measures_full"],
+        "offtopic_measures_full": full_suite_query,
         "offtopic_measures_core": mat["offtopic_measures_core"],
         "minhash_lsh_pairs": mat["minhash_lsh_pairs"],
         "simhash_hamming_pairs": mat["simhash_hamming_pairs"],
@@ -69,9 +68,10 @@ def main():
             "no joins anywhere."),
         "simhash_hamming_pairs": "same shape over 4x16-bit chunk buckets.",
         "curation_story": (
-            "global single-partition sort is the reference's W3 order "
-            "semantics (documented parity quirk; collection-scale only — "
-            "the 100 TB path is LSH+CC, which never sorts globally)."),
+            "W3 global order via the lazy two-phase ranking: range "
+            "repartition + per-partition mono-id, offsets from the "
+            "coalesce(1) agg side broadcast back — no Exchange "
+            "SinglePartition anywhere (enforced by test_plan_shape)."),
         "ann_lsh_topk": "SRP bucket equi-join, queries broadcast.",
         "ann_ivf_topk": "nprobe bucket equi-join, queries broadcast.",
         "streaming_dedup_batch": "url+simhash first-occurrence window.",
