@@ -298,6 +298,13 @@ def main(argv=None, spark=None):
         if not args.language and not args.exclude_duplicates:
             raise SystemExit(
                 "filter needs --language and/or --exclude-duplicates")
+        if "text" not in pages.columns:
+            # warc: frames carry (url, warc_ts, html, lang) only — text is
+            # derived lazily from html by prepare_pages; align to the
+            # input_hint shape so the selects below resolve on every input
+            from pyspark.sql import functions as F
+
+            pages = pages.withColumn("text", F.lit(None).cast("string"))
         if args.language:
             from pyspark.sql import functions as F
 

@@ -36,7 +36,9 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_VDIR = re.compile(r"^v(\d{6})$")
+# 6+ digits: the formatter zero-pads to 6 but emits wider past v999999 —
+# the parser must accept every width the formatter can produce
+_VDIR = re.compile(r"^v(\d{6,})$")
 
 
 class CheckpointStore:

@@ -858,3 +858,23 @@ def test_partitioned_layout_prunes_and_metrics_surface(spark, tmp_path):
     # commit order is the pipeline order
     assert stages.index("docs") < stages.index("verified_edges") \
         < stages.index("clusters")
+
+
+def test_checkpoint_version_width_roundtrip(spark, tmp_path):
+    """Past v999999 the formatter emits 7+ digits; versions()/_next_version
+    must parse every width the formatter can produce (format/parse
+    mismatch regression)."""
+    import os
+
+    from off_topic_memento_toolkit_spark.plans.checkpoints import (
+        CheckpointStore,
+    )
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    wide = store._version_dir("s", 1000000)
+    assert wide.endswith("v1000000")  # 7 digits, no truncation
+    os.makedirs(wide)
+    with open(os.path.join(wide, "_info.json"), "w") as fh:
+        fh.write("{}")
+    assert store.versions("s") == [1000000]
+    assert store._next_version("s") == 1000001

@@ -173,3 +173,38 @@ def test_cli_filter_language_from_warc(spark, tmp_path):
           "-l", "en"], spark=spark)
     got = {r.value for r in spark.read.text(out).collect()}
     assert got == {"from-warc::20160121000000::http://a.example/en"}
+
+
+def test_cli_filter_exclude_duplicates_from_warc(spark, tmp_path):
+    """filter --exclude-duplicates on warc: input (frames carry no text
+    column) must derive text from html instead of raising
+    UNRESOLVED_COLUMN — regression for the round-3 warc-shape gap."""
+    from off_topic_memento_toolkit_spark.cli import main
+
+    body_a = ("the quick brown fox jumps over the lazy dog again and "
+              "again across the wide green field") * 3
+    body_b = ("an entirely different report about harbour storms and "
+              "shipping delays along the northern coast") * 3
+    raw = (
+        _record("response", "http://site.example/page",
+                "2016-01-21T00:00:00Z",
+                f"<html><body><p>{body_a}</p></body></html>".encode())
+        # same timeline, identical content => sequential-dedup drop
+        + _record("response", "http://site.example/page",
+                  "2016-01-22T00:00:00Z",
+                  f"<html><body><p>{body_a}</p></body></html>".encode())
+        # same timeline, different content => kept
+        + _record("response", "http://site.example/page",
+                  "2016-01-23T00:00:00Z",
+                  f"<html><body><p>{body_b}</p></body></html>".encode())
+    )
+    (tmp_path / "d.warc.gz").write_bytes(gzip.compress(raw))
+    out = str(tmp_path / "nondup_list")
+
+    main(["filter", "-i", f"warc:{tmp_path}/*.warc.gz", "-o", out,
+          "--exclude-duplicates"], spark=spark)
+    got = {r.value for r in spark.read.text(out).collect()}
+    assert got == {
+        "from-warc::20160121000000::http://site.example/page",
+        "from-warc::20160123000000::http://site.example/page",
+    }
