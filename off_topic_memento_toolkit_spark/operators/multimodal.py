@@ -47,6 +47,119 @@ def deterministic_fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     return (raw / norm if norm else raw).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Real codecs (pure stdlib/numpy — no image/audio libraries needed): the
+# decode_fn hook is exercised by at least one NON-fake path.  Uncompressed
+# 24-bpp BMP (BITMAPINFOHEADER, the format every tool can emit) and 16-bit
+# PCM WAV (stdlib ``wave``).
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bpp bottom-up BMP → (height, width, 3) uint8 RGB.
+
+    Format per the published BMP layout: 14-byte file header ('BM', pixel
+    offset at byte 10) + BITMAPINFOHEADER (width/height int32 at 18/22,
+    bpp uint16 at 28, compression uint32 at 30 == BI_RGB), rows stored
+    bottom-up as BGR triples padded to 4-byte boundaries."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, "
+                         f"compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    need = pixel_offset + row_stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_stride * height,
+                         offset=pixel_offset).reshape(height, row_stride)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(height, width, 3) uint8 RGB → uncompressed 24-bpp bottom-up BMP
+    (test-fixture writer; round-trips with :func:`decode_bmp`)."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    height, width = arr.shape[:2]
+    row_stride = (width * 3 + 3) & ~3
+    pixel_bytes = row_stride * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      pixel_bytes, 2835, 2835, 0, 0)
+    body = np.zeros((height, row_stride), dtype=np.uint8)
+    body[:, : width * 3] = arr[::-1, :, ::-1].reshape(height, width * 3)
+    return header + dib + body.tobytes()
+
+
+def decode_wav(payload: bytes):
+    """16-bit PCM WAV → (sample_rate, float64 mono samples in [-1, 1]);
+    stdlib ``wave`` does the RIFF parsing."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload))) as wav:
+        if wav.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        frames = wav.readframes(wav.getnframes())
+        rate = wav.getframerate()
+        channels = wav.getnchannels()
+    samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return rate, samples
+
+
+def bmp_feature_decode(payload: bytes, dim: int = 16) -> np.ndarray:
+    """REAL image decode→embed path for the decode_fn hook: BMP → grayscale
+    → mean-pooled grid of ``dim`` cells → unit-norm float32 vector.
+    Deterministic, content-sensitive, resolution-independent."""
+    rgb = decode_bmp(payload)
+    gray = rgb.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    side = int(np.sqrt(dim))
+    cols = max(dim // side, 1)
+    ys = np.linspace(0, h, side + 1).astype(int)
+    xs = np.linspace(0, w, cols + 1).astype(int)
+    cells = [gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                  xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+             for i in range(side) for j in range(cols)]
+    vec = np.asarray(cells[:dim] + [0.0] * (dim - len(cells)))
+    norm = np.linalg.norm(vec)
+    return (vec / norm if norm else vec).astype(np.float32)
+
+
+def wav_feature_decode(payload: bytes, dim: int = 16) -> np.ndarray:
+    """REAL audio decode→embed path: WAV → per-window RMS energy over
+    ``dim`` equal windows → unit-norm float32 vector."""
+    _, samples = decode_wav(payload)
+    if samples.size == 0:
+        raise ValueError("empty audio stream")
+    edges = np.linspace(0, samples.size, dim + 1).astype(int)
+    rms = np.asarray([
+        np.sqrt(np.mean(np.square(samples[a:max(b, a + 1)])))
+        for a, b in zip(edges[:-1], edges[1:])
+    ])
+    norm = np.linalg.norm(rms)
+    return (rms / norm if norm else rms).astype(np.float32)
+
+
+def bmp_resize(payload: bytes, w, h, target_w: int, target_h: int) -> bytes:
+    """REAL resize_fn for the resize_media hook: BMP → nearest-neighbor
+    sample to (target_w, target_h) → BMP re-encode."""
+    rgb = decode_bmp(payload)
+    src_h, src_w = rgb.shape[:2]
+    ys = np.minimum(np.arange(target_h) * src_h // target_h, src_h - 1)
+    xs = np.minimum(np.arange(target_w) * src_w // target_w, src_w - 1)
+    return encode_bmp(rgb[ys][:, xs])
+
+
 def make_feature_extractor(decode_fn=None, dim: int = 16):
     """mapInPandas kernel: binary payload → feature vector.
 

@@ -22,10 +22,13 @@ committed stage (north_rule: "checkpoints signatures, candidate edges and
 cluster ids ... with per-partition lineage and counters so a killed job
 resumes mid-pipeline").
 
-Format note: on a cluster with the Iceberg runtime jar, the same layer maps
-onto catalog tables (``writeTo(...).createOrReplace()`` — Iceberg's own
-snapshot commit); the versioned-directory implementation is the tested path
-and provides the same commit atomicity / isolation / time-travel contract.
+Format note: on a cluster with the Iceberg runtime jar, the SAME contract is
+emitted as catalog tables by :class:`IcebergCheckpointStore`
+(``writeTo(...).createOrReplace()`` = Iceberg's own atomic snapshot commit,
+snapshot-id time travel, ``expire_snapshots`` maintenance), exercised by the
+jar-guarded contract test; the versioned-directory implementation is the
+sandbox-tested path with identical atomicity / isolation / time-travel
+semantics.
 """
 
 import json
@@ -178,6 +181,132 @@ class CheckpointStore:
     def run_stage(self, stage: str, build) -> DataFrame:
         """Return the committed stage table, computing it only if missing —
         the resume contract: relaunch skips completed stages."""
+        if self.is_committed(stage):
+            return self.read(stage)
+        return self.write(build(), stage)
+
+
+# --------------------------------------------------------------------------
+# Iceberg catalog backend: the same snapshot contract (atomic commit, reader
+# isolation, time travel, expiry, mid-pipeline resume) emitted as catalog
+# tables when a Spark v2 catalog backed by the Iceberg runtime is
+# configured.  SURVEY §0 mandates "Iceberg tables"; the sandbox has no
+# runtime jar, so this adapter is exercised by a jar-guarded contract test
+# (tests/test_surface.py::test_iceberg_checkpoint_contract) that runs
+# wherever `org.apache.iceberg.spark.SparkCatalog` is on the classpath.
+
+def iceberg_runtime_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:  # noqa: BLE001 — any JVM error means "not available"
+        return False
+
+
+class IcebergCheckpointStore:
+    """CheckpointStore surface over an Iceberg catalog.
+
+    Mapping of the contract onto Iceberg primitives:
+    - ``write``  → ``df.writeTo(tbl).using("iceberg").createOrReplace()``
+      (Iceberg's own atomic snapshot commit), then the commit marker (rows,
+      partitions, per-partition lineage counters) lands as ONE atomic
+      table-property commit — a crash in between leaves the stage
+      uncommitted and the relaunch recomputes it, exactly like a torn
+      version directory in the parquet backend;
+    - ``read(version=…)`` → snapshot-id time travel;
+    - ``versions`` → the ``<table>.snapshots`` metadata table;
+    - ``expire_snapshots`` → ``catalog.system.expire_snapshots``.
+    """
+
+    MARKER_PROP = "otmt.commit"
+
+    def __init__(self, spark: SparkSession, catalog: str,
+                 namespace: str = "otmt", run_id: str = "run-0"):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.run_id = run_id
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS `{catalog}`.`{namespace}`")
+
+    def _table(self, stage: str) -> str:
+        return f"`{self.catalog}`.`{self.namespace}`.`{stage}`"
+
+    def marker(self, stage: str) -> dict:
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._table(stage)}").collect()
+        }
+        if self.MARKER_PROP not in props:
+            raise FileNotFoundError(f"stage {stage!r} has no commit marker")
+        return json.loads(props[self.MARKER_PROP])
+
+    def is_committed(self, stage: str) -> bool:
+        try:
+            self.marker(stage)
+            return True
+        except Exception:  # noqa: BLE001 — missing table or marker
+            return False
+
+    def write(self, df: DataFrame, stage: str) -> DataFrame:
+        lineage = (
+            df.withColumn("_partition_id", F.spark_partition_id())
+            .withColumn("_run_id", F.lit(self.run_id))
+            .withColumn("_stage", F.lit(stage))
+        )
+        table = self._table(stage)
+        lineage.writeTo(table).using("iceberg").createOrReplace()
+        persisted = self.spark.read.table(table)
+        per_partition = [
+            {"partition_id": r._partition_id, "rows": r["count"]}
+            for r in persisted.groupBy("_partition_id").count().collect()
+        ]
+        marker = {
+            "stage": stage,
+            "run_id": self.run_id,
+            "version": self.versions(stage)[-1],
+            "data_path": table,
+            "rows": sum(p["rows"] for p in per_partition),
+            "partitions": len(per_partition),
+            "per_partition_rows": sorted(per_partition,
+                                         key=lambda p: p["partition_id"]),
+            "committed_at_monotonic": time.monotonic_ns(),
+            "committed_at_unix": time.time(),
+        }
+        payload = json.dumps(marker).replace("'", "''")
+        # the commit point: one atomic metadata commit carrying the marker
+        self.spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('{self.MARKER_PROP}' = '{payload}')")
+        return persisted.drop("_partition_id", "_run_id", "_stage")
+
+    def versions(self, stage: str) -> list:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._table(stage)}.snapshots "
+            f"ORDER BY committed_at").collect()
+        return [r.snapshot_id for r in rows]
+
+    def read(self, stage: str, version=None) -> DataFrame:
+        table = self._table(stage)
+        reader = self.spark.read
+        if version is not None:
+            reader = reader.option("snapshot-id", str(version))
+        return reader.table(table).drop(
+            "_partition_id", "_run_id", "_stage")
+
+    def expire_snapshots(self, stage: str, keep: int = 1) -> list:
+        before = set(self.versions(stage))
+        self.spark.sql(
+            f"CALL `{self.catalog}`.system.expire_snapshots("
+            f"table => '{self.namespace}.{stage}', "
+            f"older_than => TIMESTAMP '9999-01-01 00:00:00', "
+            f"retain_last => {max(1, keep)})")
+        return sorted(before - set(self.versions(stage)))
+
+    def run_stage(self, stage: str, build) -> DataFrame:
         if self.is_committed(stage):
             return self.read(stage)
         return self.write(build(), stage)

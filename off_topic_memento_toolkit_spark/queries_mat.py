@@ -30,10 +30,12 @@ from pyspark.sql import functions as F
 
 # Env-overridable so concurrent runs (check_oracle + plan_audit, two
 # sessions) can isolate their intermediates: the writer and the DuckDB
-# oracle may live in DIFFERENT processes, so the default must stay a stable
-# path — isolation is opt-in via OTMT_MAT_ROOT, not an automatic pid suffix
-# (a pid-suffixed default would bake a dead path into oracle SQL rendered by
-# a process that never ran the queries).
+# oracle may live in DIFFERENT processes, so the DEFAULT must stay a stable
+# path (a pid-suffixed default would bake a dead path into oracle SQL
+# rendered by a process that never ran the queries).  Entry points that run
+# writer and oracle in ONE process self-isolate: scripts/check_oracle.py
+# sets a pid-suffixed OTMT_MAT_ROOT before import and removes it at exit,
+# so concurrent gate runs never clobber each other.
 MAT_ROOT = os.environ.get("OTMT_MAT_ROOT", "/tmp/otmt_oracle_mat")
 
 

@@ -14,6 +14,7 @@ def get_spark(
     app_name: str = "otmt-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -44,6 +45,10 @@ def get_spark(
         builder = builder.config("spark.local.dir", shm)
     except OSError:
         pass
+    # pre-session settings (executor memory/env for local-cluster or a real
+    # cluster manager) must land before getOrCreate
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):

