@@ -24,6 +24,9 @@ Parity quirks preserved deliberately:
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# single-slot registry for with_global_position's pinned range layout
+_PERSISTED_RANGED: list = []
+
 
 def consider_only(df: DataFrame, consideration: DataFrame, key: str = "urim") -> DataFrame:
     """F4 consideration-list semi-filter (bin/*:46-79) — broadcast semi-join."""
@@ -101,6 +104,19 @@ def with_global_position(df: DataFrame, order_cols,
         .sortWithinPartitions(*order_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # bounded cache lifecycle: Catalyst does NOT reuse the range exchange
+    # across the offsets and output branches (verified: 2 exchanges without
+    # the persist), so the persist is load-bearing — but a long-lived
+    # session calling this repeatedly must not accumulate pinned copies.
+    # One slot: each call releases the previous call's cache (an evicted
+    # cache merely recomputes — persist is not lineage truncation, so prior
+    # results stay correct).
+    while _PERSISTED_RANGED:
+        try:
+            _PERSISTED_RANGED.pop().unpersist(False)
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    _PERSISTED_RANGED.append(ranged)
     local = F.monotonically_increasing_id()
     with_mid = (
         ranged.withColumn("_pid", F.shiftrightunsigned(local, 33))

@@ -71,6 +71,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
                          f"compression={compression})")
     top_down = height < 0
     height = abs(height)
+    # adversarial-header guards: negative/zero width, zero height, or a
+    # pixel array the payload cannot possibly hold
+    if width <= 0 or height == 0 or width * height > len(payload):
+        raise ValueError(f"implausible BMP dimensions {width}x{height} "
+                         f"for {len(payload)} bytes")
     row_stride = (width * 3 + 3) & ~3
     need = pixel_offset + row_stride * height
     if len(payload) < need:

@@ -40,8 +40,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # 6+ digits: the formatter zero-pads to 6 but emits wider past v999999 —
-# the parser must accept every width the formatter can produce
+# the parser must accept any width the formatter can produce
 _VDIR = re.compile(r"^v(\d{6,})$")
+
+
+def _with_lineage(df: DataFrame, run_id: str, stage: str) -> DataFrame:
+    """The per-partition lineage columns every backend commits with."""
+    return (
+        df.withColumn("_partition_id", F.spark_partition_id())
+        .withColumn("_run_id", F.lit(run_id))
+        .withColumn("_stage", F.lit(stage))
+    )
+
+
+def _per_partition_counts(persisted: DataFrame) -> list:
+    return [
+        {"partition_id": r._partition_id, "rows": r["count"]}
+        for r in persisted.groupBy("_partition_id").count().collect()
+    ]
+
+
+def _build_marker(stage: str, run_id: str, version, data_path: str,
+                  per_partition: list) -> dict:
+    """One marker schema for every backend — evolve it here, not per-store."""
+    return {
+        "stage": stage,
+        "run_id": run_id,
+        "version": version,
+        "data_path": data_path,
+        "rows": sum(p["rows"] for p in per_partition),
+        "partitions": len(per_partition),
+        "per_partition_rows": sorted(per_partition,
+                                     key=lambda p: p["partition_id"]),
+        "committed_at_monotonic": time.monotonic_ns(),
+        "committed_at_unix": time.time(),
+    }
 
 
 class CheckpointStore:
@@ -87,32 +120,15 @@ class CheckpointStore:
     def write(self, df: DataFrame, stage: str) -> DataFrame:
         """Snapshot-commit a stage: fresh version directory, per-partition
         counters, then one atomic marker swing."""
-        lineage = (
-            df.withColumn("_partition_id", F.spark_partition_id())
-            .withColumn("_run_id", F.lit(self.run_id))
-            .withColumn("_stage", F.lit(stage))
-        )
         version = self._next_version(stage)
         path = self._version_dir(stage, version)
-        lineage.write.mode("errorifexists").parquet(path)
+        _with_lineage(df, self.run_id, stage) \
+            .write.mode("errorifexists").parquet(path)
 
         persisted = self.spark.read.parquet(path)
-        per_partition = [
-            {"partition_id": r._partition_id, "rows": r["count"]}
-            for r in persisted.groupBy("_partition_id").count().collect()
-        ]
-        marker = {
-            "stage": stage,
-            "run_id": self.run_id,
-            "version": version,
-            "data_path": path,
-            "rows": sum(p["rows"] for p in per_partition),
-            "partitions": len(per_partition),
-            "per_partition_rows": sorted(per_partition,
-                                         key=lambda p: p["partition_id"]),
-            "committed_at_monotonic": time.monotonic_ns(),
-            "committed_at_unix": time.time(),
-        }
+        per_partition = _per_partition_counts(persisted)
+        marker = _build_marker(stage, self.run_id, version, path,
+                               per_partition)
         # version info first (declares the directory fully written), then the
         # atomic marker swing — the commit point
         with open(os.path.join(path, "_info.json"), "w") as fh:
@@ -235,6 +251,8 @@ class IcebergCheckpointStore:
         return f"`{self.catalog}`.`{self.namespace}`.`{stage}`"
 
     def marker(self, stage: str) -> dict:
+        import base64
+
         props = {
             r["key"]: r["value"]
             for r in self.spark.sql(
@@ -242,7 +260,7 @@ class IcebergCheckpointStore:
         }
         if self.MARKER_PROP not in props:
             raise FileNotFoundError(f"stage {stage!r} has no commit marker")
-        return json.loads(props[self.MARKER_PROP])
+        return json.loads(base64.b64decode(props[self.MARKER_PROP]))
 
     def is_committed(self, stage: str) -> bool:
         try:
@@ -251,32 +269,43 @@ class IcebergCheckpointStore:
         except Exception:  # noqa: BLE001 — missing table or marker
             return False
 
+    def _current_snapshot(self, stage: str):
+        """The table's CURRENT snapshot id — from the main branch ref, not
+        from snapshot ordering (committed_at has millisecond granularity, so
+        two rapid commits can tie and an ORDER BY pick the wrong one)."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._table(stage)}.refs "
+            f"WHERE name = 'main'").collect()
+        if rows:
+            return rows[0].snapshot_id
+        return self.versions(stage)[-1]  # refs table empty: deterministic tail
+
     def write(self, df: DataFrame, stage: str) -> DataFrame:
-        lineage = (
-            df.withColumn("_partition_id", F.spark_partition_id())
-            .withColumn("_run_id", F.lit(self.run_id))
-            .withColumn("_stage", F.lit(stage))
-        )
         table = self._table(stage)
-        lineage.writeTo(table).using("iceberg").createOrReplace()
+        # stale-marker guard: REPLACE TABLE carries existing table properties
+        # into the replacement metadata, so drop the old marker FIRST — a
+        # crash anywhere before the final property commit then leaves the
+        # stage observably uncommitted and the relaunch recomputes it
+        try:
+            self.spark.sql(
+                f"ALTER TABLE {table} UNSET TBLPROPERTIES IF EXISTS "
+                f"('{self.MARKER_PROP}')")
+        except Exception:  # noqa: BLE001 — table doesn't exist yet
+            pass
+        _with_lineage(df, self.run_id, stage) \
+            .writeTo(table).using("iceberg").createOrReplace()
         persisted = self.spark.read.table(table)
-        per_partition = [
-            {"partition_id": r._partition_id, "rows": r["count"]}
-            for r in persisted.groupBy("_partition_id").count().collect()
-        ]
-        marker = {
-            "stage": stage,
-            "run_id": self.run_id,
-            "version": self.versions(stage)[-1],
-            "data_path": table,
-            "rows": sum(p["rows"] for p in per_partition),
-            "partitions": len(per_partition),
-            "per_partition_rows": sorted(per_partition,
-                                         key=lambda p: p["partition_id"]),
-            "committed_at_monotonic": time.monotonic_ns(),
-            "committed_at_unix": time.time(),
-        }
-        payload = json.dumps(marker).replace("'", "''")
+        per_partition = _per_partition_counts(persisted)
+        marker = _build_marker(stage, self.run_id,
+                               self._current_snapshot(stage), table,
+                               per_partition)
+        # base64: property values travel through a SQL string literal whose
+        # escape processing is config-dependent — keep the payload in
+        # [A-Za-z0-9+/=] so no dialect can corrupt it
+        import base64
+
+        payload = base64.b64encode(
+            json.dumps(marker).encode("utf-8")).decode("ascii")
         # the commit point: one atomic metadata commit carrying the marker
         self.spark.sql(
             f"ALTER TABLE {table} SET TBLPROPERTIES "
@@ -286,7 +315,7 @@ class IcebergCheckpointStore:
     def versions(self, stage: str) -> list:
         rows = self.spark.sql(
             f"SELECT snapshot_id FROM {self._table(stage)}.snapshots "
-            f"ORDER BY committed_at").collect()
+            f"ORDER BY committed_at, snapshot_id").collect()
         return [r.snapshot_id for r in rows]
 
     def read(self, stage: str, version=None) -> DataFrame:

@@ -988,14 +988,12 @@ def q_offtopic_measures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "measure_inputs",
     )
-    # the lev/lsi component SQLs read their own tables; feed them from the
-    # READBACK (parquet re-select, no second run of the UDF lineage)
+    # the lev/lsi component SQLs read identical 5-column tables; write the
+    # projection ONCE from the READBACK (no second run of the UDF lineage)
+    # and point the composed lsi arm at it (see SQL_MEASURES_FULL)
     _materialize(
         inputs.select("urit", "urim", "warc_ts", "tokens", "text_len"),
         "lev_inputs")
-    _materialize(
-        inputs.select("urit", "urim", "warc_ts", "tokens", "text_len"),
-        "lsi_inputs")
 
     stats = (
         inputs.groupBy("urit")
@@ -1033,10 +1031,13 @@ def q_offtopic_measures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the lsi arm reads the SAME 5-column projection the lev arm does — the
+# composed query writes it once as lev_inputs and re-points the fragment
 SQL_MEASURES_FULL = (
     f"SELECT * FROM ({SQL_MEASURES_CORE})"
     f"\nUNION ALL\nSELECT * FROM ({SQL_LEVENSHTEIN})"
-    f"\nUNION ALL\nSELECT * FROM ({SQL_LSI})"
+    f"\nUNION ALL\nSELECT * FROM ("
+    + SQL_LSI.replace(_mat('lsi_inputs'), _mat('lev_inputs')) + ")"
 )
 
 

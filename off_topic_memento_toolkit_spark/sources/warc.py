@@ -72,6 +72,8 @@ def _dechunk(body: bytes) -> bytes:
         while True:
             eol = body.index(b"\r\n", pos)
             size = int(body[pos:eol].split(b";")[0], 16)  # ignore extensions
+            if size < 0:  # int(..., 16) accepts '-N': hostile framing, bail
+                return body
             if size == 0:
                 return b"".join(out)
             start = eol + 2
@@ -142,23 +144,30 @@ def extract_pages_from_warc_bytes(raw: bytes, warc_file: str = ""):
         status = status_line.split(" ")[1] if " " in status_line else ""
         rows.append((uri, mdt, body, status, content_type, warc_file))
 
+    def _segnum(headers):
+        # malformed numbers skip the RECORD, never abort the file (same
+        # posture as the malformed-WARC-Date skip below)
+        try:
+            return int(headers.get("warc-segment-number", "0"))
+        except ValueError:
+            return None
+
     segmented = {}  # origin record id -> {"headers": ..., "parts": {n: bytes}}
     for headers, payload in _iter_warc_records(buffered):
         wtype = headers.get("warc-type")
         if wtype == "response" and "warc-segment-number" in headers:
+            num = _segnum(headers)
+            if num is None:
+                continue
             rid = headers.get("warc-record-id", f"_anon{len(segmented)}")
-            segmented[rid] = {
-                "headers": headers,
-                "parts": {int(headers["warc-segment-number"]): payload},
-            }
+            segmented[rid] = {"headers": headers, "parts": {num: payload}}
             continue
         if wtype == "continuation":
             origin = headers.get("warc-segment-origin-id", "")
             entry = segmented.get(origin)
-            if entry is not None:
-                entry["parts"][
-                    int(headers.get("warc-segment-number", "0"))
-                ] = payload
+            num = _segnum(headers)
+            if entry is not None and num is not None:
+                entry["parts"][num] = payload
             continue
         if wtype != "response":
             continue

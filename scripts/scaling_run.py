@@ -230,8 +230,12 @@ def main():
             probe[label] = best
 
     # chip control: identical per-core work, zero Spark — measures how much
-    # all-core clock the VM sheds at each width (the engine can't beat it)
-    chip = {c: run_chip_control(c)["per_task"] for c in levels}
+    # all-core clock the VM sheds at each width (the engine can't beat it).
+    # best-of-3 like the engine numbers: the VM is bimodal, and a control
+    # caught in the slow mode at one width fabricates an impossible ratio
+    # (round-4 saw 0.184 for 2->8 while the engine itself reached 0.859)
+    chip = {c: min(run_chip_control(c)["per_task"] for _ in range(3))
+            for c in levels}
     chip_pairs = {}
     for low, high in zip(levels, levels[1:]):
         # per-core unit time = per_task * workers; the low→high ratio is the

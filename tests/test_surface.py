@@ -991,3 +991,37 @@ def test_iceberg_checkpoint_contract(spark, tmp_path):
     # expiry keeps the current snapshot readable
     store2.expire_snapshots("stage_a", keep=1)
     assert store2.read("stage_a").count() == 3
+
+
+def test_bmp_decoder_adversarial_headers():
+    """Hostile BMP headers (negative/zero/overflowing dimensions, offset
+    past end, truncation) must raise ValueError — mapInPandas turns that
+    into an error ROW — never crash or allocate unboundedly; a legitimate
+    top-down (negative height) bitmap still decodes."""
+    import struct
+
+    import numpy as np
+
+    from off_topic_memento_toolkit_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    payload = encode_bmp(img)
+    assert np.array_equal(decode_bmp(payload), img)
+
+    def mutate(buf, off, val):
+        buf = bytearray(buf)
+        struct.pack_into("<i", buf, off, val)
+        return bytes(buf)
+
+    hostile = [b"", b"BM", payload[:53],
+               mutate(payload, 18, -5), mutate(payload, 18, 0),
+               mutate(payload, 22, 0), mutate(payload, 18, 2 ** 30),
+               mutate(payload, 22, 2 ** 30), mutate(payload, 10, 10 ** 9)]
+    for case in hostile:
+        with pytest.raises(ValueError):
+            decode_bmp(case)
+    # negative height = top-down row order, a legal variant
+    assert decode_bmp(mutate(payload, 22, -4)).shape == (4, 4, 3)

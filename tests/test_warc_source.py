@@ -297,3 +297,29 @@ def test_cli_filter_exclude_duplicates_from_warc(spark, tmp_path):
         "from-warc::20160121000000::http://site.example/page",
         "from-warc::20160123000000::http://site.example/page",
     }
+
+
+def test_warc_hostile_framing_skips_record_not_file():
+    """Sloppy-archive posture: a malformed WARC-Segment-Number skips that
+    RECORD (like a malformed WARC-Date does), never aborts the file; a
+    negative chunk size in a chunked body (int(...,16) accepts '-N', which
+    would otherwise re-visit the same offset forever) returns the body
+    unchanged instead of hanging the executor task."""
+    from off_topic_memento_toolkit_spark.sources.warc import _dechunk
+
+    assert _dechunk(b"-6\r\nboom") == b"-6\r\nboom"
+
+    good = _record("response", "http://ok.example/", "2016-01-01T00:00:00Z",
+                   b"<html><body>fine</body></html>")
+    bad_seg = _record_with(
+        "http://broken.example/", "2016-01-01T00:00:01Z", b"partial",
+        add_http=False,
+        extra_warc_headers=("WARC-Segment-Number: one",
+                            "WARC-Record-ID: <urn:uuid:x>"))
+    bad_cont = _record_with(
+        "http://broken.example/", "2016-01-01T00:00:02Z", b"more",
+        warc_type="continuation",
+        extra_warc_headers=("WARC-Segment-Number: 1.5",
+                            "WARC-Segment-Origin-ID: <urn:uuid:x>"))
+    rows = extract_pages_from_warc_bytes(good + bad_seg + bad_cont, "h.warc")
+    assert [r[0] for r in rows] == ["http://ok.example/"]
