@@ -54,7 +54,12 @@ def _iter_warc_records(stream):
                 headers[key.strip().lower().decode("latin-1")] = (
                     value.strip().decode("latin-1")
                 )
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            return  # mangled Content-Length: record boundaries unrecoverable
+        if length < 0:
+            return
         payload = stream.read(length)
         yield headers, payload
 
@@ -152,8 +157,22 @@ def extract_pages_from_warc_bytes(raw: bytes, warc_file: str = ""):
         except ValueError:
             return None
 
+    def _records_tolerant(stream_reader):
+        """Corrupt gzip members / truncated streams end iteration with the
+        rows parsed so far instead of failing the whole ingest task."""
+        import zlib
+
+        gen = _iter_warc_records(stream_reader)
+        while True:
+            try:
+                yield next(gen)
+            except StopIteration:
+                return
+            except (OSError, EOFError, zlib.error):  # BadGzipFile is OSError
+                return
+
     segmented = {}  # origin record id -> {"headers": ..., "parts": {n: bytes}}
-    for headers, payload in _iter_warc_records(buffered):
+    for headers, payload in _records_tolerant(buffered):
         wtype = headers.get("warc-type")
         if wtype == "response" and "warc-segment-number" in headers:
             num = _segnum(headers)

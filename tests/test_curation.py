@@ -162,3 +162,29 @@ def test_quality_damage_hook_changes_representative(spark):
     # damage_col=None stays byte-compatible with the default D4 path
     undamaged = {r.urim: r.quality for r in quality_score(df).collect()}
     assert undamaged["u1"] == pytest.approx(0.15 * 0.7 + 0.45 * 0.3)
+
+
+def test_global_position_single_slot_cache(spark):
+    """The pinned range layout is a ONE-slot registry: building a second
+    ranking releases the first's cache, and the first result still computes
+    correctly afterwards (persist is not lineage truncation — an evicted
+    cache recomputes deterministically)."""
+    from pyspark.sql import functions as F
+
+    from off_topic_memento_toolkit_spark.operators.curation import (
+        _PERSISTED_RANGED,
+        with_global_position,
+    )
+
+    def frame(n, tag):
+        return spark.range(n).select(
+            F.concat(F.lit(tag), F.format_string("%04d", (F.col("id") * 37) % n))
+            .alias("k"))
+
+    first = with_global_position(frame(200, "a"), ["k"], pos_col="pos")
+    assert sorted(r.pos for r in first.collect()) == list(range(200))
+    second = with_global_position(frame(300, "b"), ["k"], pos_col="pos")
+    assert len(_PERSISTED_RANGED) == 1  # first slot released
+    assert sorted(r.pos for r in second.collect()) == list(range(300))
+    # the first result survives its cache release
+    assert sorted(r.pos for r in first.collect()) == list(range(200))

@@ -323,3 +323,35 @@ def test_warc_hostile_framing_skips_record_not_file():
                             "WARC-Segment-Origin-ID: <urn:uuid:x>"))
     rows = extract_pages_from_warc_bytes(good + bad_seg + bad_cont, "h.warc")
     assert [r[0] for r in rows] == ["http://ok.example/"]
+
+
+def test_warc_parser_fuzz_never_crashes():
+    """Derandomized byte-soup sweep: arbitrary mangled record streams (bit
+    flips, truncations, header garbage, random gzip members) must never
+    raise — emitted rows always have the (str, datetime, bytes, str, str,
+    str) shape with non-dns html urls."""
+    import random
+    from datetime import datetime as _dt
+
+    rng = random.Random(20260817)
+    base_records = _conformance_warc()
+    for trial in range(300):
+        blob = bytearray(b"".join(
+            rng.sample(base_records, rng.randrange(1, len(base_records)))))
+        for _ in range(rng.randrange(8)):
+            if blob:
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        if rng.random() < 0.3 and blob:
+            blob = blob[: rng.randrange(len(blob))]
+        if rng.random() < 0.3:
+            blob = bytearray(gzip.compress(bytes(blob)))
+            # sometimes corrupt the COMPRESSED stream too (mid-read gzip
+            # failures must end iteration, not fail the ingest task)
+            if rng.random() < 0.5:
+                blob[rng.randrange(10, len(blob))] = rng.randrange(256)
+        rows = extract_pages_from_warc_bytes(bytes(blob), "fuzz.warc")
+        for r in rows:
+            assert isinstance(r[0], str) and not r[0].startswith("dns:")
+            assert isinstance(r[1], _dt)
+            assert isinstance(r[2], (bytes, bytearray))
+            assert "text/html" in r[4]
