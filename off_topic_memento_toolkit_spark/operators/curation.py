@@ -24,8 +24,28 @@ Parity quirks preserved deliberately:
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# single-slot registry for with_global_position's pinned range layout
+# registry of with_global_position's pinned range layouts — released by
+# release_global_ranking_caches() or spark.catalog.clearCache(), NEVER
+# eagerly on the next call: a prior ranking may still be un-consumed, and
+# releasing its pin would let the offsets and output branches recompute the
+# range layout independently (divergent boundaries under a nondeterministic
+# upstream row order ⇒ silently wrong positions)
 _PERSISTED_RANGED: list = []
+
+
+def release_global_ranking_caches() -> int:
+    """Unpersist every range layout pinned by :func:`with_global_position`.
+    Call between pipeline generations in a long-lived session (or use
+    ``spark.catalog.clearCache()``); returns the number released.  Only safe
+    once the rankings built so far have been consumed."""
+    released = 0
+    while _PERSISTED_RANGED:
+        try:
+            _PERSISTED_RANGED.pop().unpersist(False)
+            released += 1
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    return released
 
 
 def consider_only(df: DataFrame, consideration: DataFrame, key: str = "urim") -> DataFrame:
@@ -104,18 +124,15 @@ def with_global_position(df: DataFrame, order_cols,
         .sortWithinPartitions(*order_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # bounded cache lifecycle: Catalyst does NOT reuse the range exchange
-    # across the offsets and output branches (verified: 2 exchanges without
-    # the persist), so the persist is load-bearing — but a long-lived
-    # session calling this repeatedly must not accumulate pinned copies.
-    # One slot: each call releases the previous call's cache (an evicted
-    # cache merely recomputes — persist is not lineage truncation, so prior
-    # results stay correct).
-    while _PERSISTED_RANGED:
-        try:
-            _PERSISTED_RANGED.pop().unpersist(False)
-        except Exception:  # noqa: BLE001 — session already stopped
-            pass
+    # The persist is load-bearing, not an optimization: Catalyst does NOT
+    # reuse the range exchange across the offsets and output branches
+    # (verified: 2 exchanges without it), and two independent executions of
+    # repartitionByRange may sample different boundaries when the upstream
+    # row order is nondeterministic — the pin is what makes both branches
+    # read ONE layout.  Pinned layouts are tracked for explicit release
+    # (release_global_ranking_caches / clearCache); they are deliberately
+    # NOT released on the next call, since an earlier ranking may not have
+    # been consumed yet.
     _PERSISTED_RANGED.append(ranged)
     local = F.monotonically_increasing_id()
     with_mid = (

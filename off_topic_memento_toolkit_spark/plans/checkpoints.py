@@ -31,6 +31,7 @@ sandbox-tested path with identical atomicity / isolation / time-travel
 semantics.
 """
 
+import base64
 import json
 import os
 import re
@@ -251,8 +252,6 @@ class IcebergCheckpointStore:
         return f"`{self.catalog}`.`{self.namespace}`.`{stage}`"
 
     def marker(self, stage: str) -> dict:
-        import base64
-
         props = {
             r["key"]: r["value"]
             for r in self.spark.sql(
@@ -260,7 +259,12 @@ class IcebergCheckpointStore:
         }
         if self.MARKER_PROP not in props:
             raise FileNotFoundError(f"stage {stage!r} has no commit marker")
-        return json.loads(base64.b64decode(props[self.MARKER_PROP]))
+        raw = props[self.MARKER_PROP]
+        try:
+            # markers written before the base64 encoding: plain JSON
+            return json.loads(raw)
+        except json.JSONDecodeError:
+            return json.loads(base64.b64decode(raw, validate=True))
 
     def is_committed(self, stage: str) -> bool:
         try:
@@ -280,18 +284,23 @@ class IcebergCheckpointStore:
             return rows[0].snapshot_id
         return self.versions(stage)[-1]  # refs table empty: deterministic tail
 
+    def _table_exists(self, stage: str) -> bool:
+        return self.spark.catalog.tableExists(
+            f"{self.catalog}.{self.namespace}.{stage}")
+
     def write(self, df: DataFrame, stage: str) -> DataFrame:
         table = self._table(stage)
         # stale-marker guard: REPLACE TABLE carries existing table properties
         # into the replacement metadata, so drop the old marker FIRST — a
         # crash anywhere before the final property commit then leaves the
-        # stage observably uncommitted and the relaunch recomputes it
-        try:
+        # stage observably uncommitted and the relaunch recomputes it.
+        # Existence is checked explicitly; a TRANSIENT catalog failure of the
+        # UNSET must propagate (swallowing it would recreate exactly the
+        # torn state this guard exists to prevent).
+        if self._table_exists(stage):
             self.spark.sql(
                 f"ALTER TABLE {table} UNSET TBLPROPERTIES IF EXISTS "
                 f"('{self.MARKER_PROP}')")
-        except Exception:  # noqa: BLE001 — table doesn't exist yet
-            pass
         _with_lineage(df, self.run_id, stage) \
             .writeTo(table).using("iceberg").createOrReplace()
         persisted = self.spark.read.table(table)
@@ -302,8 +311,6 @@ class IcebergCheckpointStore:
         # base64: property values travel through a SQL string literal whose
         # escape processing is config-dependent — keep the payload in
         # [A-Za-z0-9+/=] so no dialect can corrupt it
-        import base64
-
         payload = base64.b64encode(
             json.dumps(marker).encode("utf-8")).decode("ascii")
         # the commit point: one atomic metadata commit carrying the marker

@@ -234,7 +234,8 @@ def main():
     # best-of-3 like the engine numbers: the VM is bimodal, and a control
     # caught in the slow mode at one width fabricates an impossible ratio
     # (round-4 saw 0.184 for 2->8 while the engine itself reached 0.859)
-    chip = {c: min(run_chip_control(c)["per_task"] for _ in range(3))
+    chip = {c: min(run_chip_control(c)["per_task"]
+                   for _ in range(max(3, args.best_of)))
             for c in levels}
     chip_pairs = {}
     for low, high in zip(levels, levels[1:]):

@@ -164,15 +164,17 @@ def test_quality_damage_hook_changes_representative(spark):
     assert undamaged["u1"] == pytest.approx(0.15 * 0.7 + 0.45 * 0.3)
 
 
-def test_global_position_single_slot_cache(spark):
-    """The pinned range layout is a ONE-slot registry: building a second
-    ranking releases the first's cache, and the first result still computes
-    correctly afterwards (persist is not lineage truncation — an evicted
-    cache recomputes deterministically)."""
+def test_global_position_cache_pool_release(spark):
+    """Pinned range layouts accumulate in an explicit-release pool — a prior
+    un-consumed ranking is NEVER released by a later call (premature release
+    would let its two branches recompute divergent layouts); the release
+    helper frees everything and already-built results still compute
+    correctly afterwards (persist is not lineage truncation)."""
     from pyspark.sql import functions as F
 
     from off_topic_memento_toolkit_spark.operators.curation import (
         _PERSISTED_RANGED,
+        release_global_ranking_caches,
         with_global_position,
     )
 
@@ -181,10 +183,14 @@ def test_global_position_single_slot_cache(spark):
             F.concat(F.lit(tag), F.format_string("%04d", (F.col("id") * 37) % n))
             .alias("k"))
 
+    release_global_ranking_caches()
     first = with_global_position(frame(200, "a"), ["k"], pos_col="pos")
-    assert sorted(r.pos for r in first.collect()) == list(range(200))
     second = with_global_position(frame(300, "b"), ["k"], pos_col="pos")
-    assert len(_PERSISTED_RANGED) == 1  # first slot released
+    assert len(_PERSISTED_RANGED) == 2  # nothing released eagerly
+    # consume BOTH (first after second was built — the hazard case)
     assert sorted(r.pos for r in second.collect()) == list(range(300))
-    # the first result survives its cache release
+    assert sorted(r.pos for r in first.collect()) == list(range(200))
+    assert release_global_ranking_caches() == 2
+    assert not _PERSISTED_RANGED
+    # released results survive (recompute, not truncation)
     assert sorted(r.pos for r in first.collect()) == list(range(200))
