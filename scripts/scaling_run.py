@@ -325,7 +325,19 @@ def main():
                     f"contention alone.")
         probe_block = "\n".join(lines) + "\n"
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+    # preserve the spark-submit N-vs-4N-executors section maintained by
+    # scripts/submit_scaling_run.py across wholesale rewrites
+    submit_block = ""
+    bench_path = os.path.join(REPO, "BENCH.md")
+    if os.path.exists(bench_path):
+        with open(bench_path) as fh:
+            old = fh.read()
+        begin, end = "<!-- submit-scaling:begin -->", "<!-- submit-scaling:end -->"
+        if begin in old and end in old:
+            submit_block = old[old.index(begin): old.index(end) + len(end)] \
+                + "\n\n"
+
+    with open(bench_path, "w") as fh:
         fh.write(f"""# BENCH — throughput & scaling evidence
 
 Workload: the full 10-measure off-topic suite and MinHash-LSH candidate
@@ -351,7 +363,7 @@ per-core work with plain multiprocessing. Where the engine's N→4N
 efficiency tracks the control, the residual is the silicon, not added
 coordination cost in the engine.
 {probe_block}
-Reference baseline: the reference publishes no throughput numbers
+{submit_block}Reference baseline: the reference publishes no throughput numbers
 (BASELINE.md); it is a single-process, single-thread Python tool for the
 measure/dedup path, so any multi-core scaling is strictly additive over it.
 """)
