@@ -57,14 +57,16 @@ def run(sf_dir: str, cpus: str):
 
     n_docs = pages_from_documents(spark, sf_dir).count()
 
-    # best-of-2 per query: this sandbox VM's virtio/host contention is
-    # bimodal (documented in BENCH.md); the minimum is the reproducible
-    # engine cost, the max is the machine
+    # best-of-N per query: this sandbox VM's virtio/host contention is
+    # bimodal with 2-4x swings (measured in BENCH.md); the minimum is the
+    # reproducible engine cost, the max is the machine.  3 runs halves the
+    # odds a query never sees the fast mode vs 2.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings = {}
     total_start = time.time()
     for name, fn in headline.items():
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             # plan-matching would let run 2 reuse run 1's persisted
             # intermediates — that would measure the cache, not the engine
             spark.catalog.clearCache()
@@ -91,7 +93,7 @@ def run(sf_dir: str, cpus: str):
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs * len(doc_queries) / doc_time, 2),
         "cpus": int(cpus),
-        "runs_per_query": 2,
+        "runs_per_query": runs,
         "wall_seconds": wall,
     }
     print(json.dumps(result))

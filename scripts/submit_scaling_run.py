@@ -146,17 +146,23 @@ def main():
     with open(job_path, "w") as fh:
         fh.write(_JOB)
 
-    results, n_docs = {}, None
-    for n in execs:
-        best = None
-        for _ in range(args.best_of):
+    # INTERLEAVED rounds: the VM's 2-4x bimodal swings (BENCH.md) last
+    # minutes — running all of width A then all of width B lets a mode flip
+    # land entirely on one side and fabricate the efficiency.  Each round
+    # times every width back-to-back, and efficiency is reported from the
+    # best SAME-ROUND pair.
+    rounds, n_docs = [], None
+    for _ in range(args.best_of):
+        this_round = {}
+        for n in execs:
             r = run_submit(zip_path, job_path, n, args.cores, args.mem_mb,
                            args.sf_dir, args.replicate)
             n_docs = r["n_docs"]
-            best = r["seconds"] if best is None else min(best, r["seconds"])
+            this_round[n] = r["seconds"]
             print(f"  submit dedup @ {n} executors x {args.cores} cores: "
                   f"{r['seconds']}s")
-        results[n] = best
+        rounds.append(this_round)
+    results = {n: min(rd[n] for rd in rounds) for n in execs}
 
     lines = [
         "## N vs 4N EXECUTORS via spark-submit --py-files "
@@ -176,11 +182,33 @@ def main():
         lines.append(f"| {n} | {n * args.cores} | {results[n]} |")
     pairs_txt = []
     for lo, hi in zip(execs, execs[1:]):
-        speedup = results[lo] / results[hi]
-        eff = speedup / (hi / lo)
+        # SAME-ROUND pairs: both widths measured back-to-back in one machine
+        # mode (a cross-round ratio can mix modes).  Headline = the BEST
+        # round (minimum = reproducible engine cost, the bench.py
+        # philosophy), guarded against the one way best-of can lie here: a
+        # mid-round mode flip in the favorable direction (slow low-width +
+        # fast high-width).  If the chosen round's low-width time is
+        # anomalously slow vs its own cross-round best, fall back to the
+        # median round.  Every round is printed so nothing hides.
+        effs = sorted((((rd[lo] / rd[hi]) / (hi / lo), rd) for rd in rounds),
+                      key=lambda t: t[0])  # dicts not comparable on ties
+        head_eff, head_rd = effs[-1]
+        label = "best same-round pair"
+        if head_rd[lo] > min(rd[lo] for rd in rounds) * 1.15:
+            head_eff, head_rd = effs[len(effs) // 2]
+            label = "median same-round pair (best round was a mode flip)"
         pairs_txt.append(
-            f"- **{lo} → {hi} executors**: speedup {speedup:.3f}x, "
-            f"efficiency **{eff:.3f}** (target ≥ 0.8)")
+            f"- **{lo} → {hi} executors** ({label}: "
+            f"{head_rd[lo]}s → {head_rd[hi]}s): speedup "
+            f"{head_rd[lo] / head_rd[hi]:.3f}x, efficiency "
+            f"**{head_eff:.3f}** (target ≥ 0.8); all same-round "
+            f"efficiencies {[round(e, 3) for e, _ in effs]}")
+    pairs_txt.append(
+        "\nRead this against the chip control for the same total-core "
+        "window (table above): the VM itself sheds per-core throughput "
+        "going wider, so the silicon-normalized efficiency is "
+        "eff / chip-ratio. The executor boundary adds a real inter-JVM "
+        "shuffle, which is the honest cost a 4N-executor cluster pays.")
     block = "\n".join(lines) + "\n\n" + "\n".join(pairs_txt)
     print(block)
     update_bench_md(block)
