@@ -1,0 +1,91 @@
+"""North-rule resume, run LITERALLY: a real dedup job process is SIGKILLed
+mid-pipeline (after its first stage commits) and a relaunch with the same
+checkpoint root completes the pipeline — reusing the committed stage
+verbatim (marker timestamps unchanged = read, not recomputed).
+
+The in-process resume tests (test_surface.py) prove the CheckpointStore
+contract; this one proves the end-to-end claim: "a killed job resumes
+mid-pipeline" survives an actual kill -9 of the driver JVM + Python."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DRIVER = """\
+import sys
+from off_topic_memento_toolkit_spark.cli import main
+main(sys.argv[1:])
+"""
+
+
+def _launch(driver, src, out, ckpt):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_DRIVER_MEM"] = "3g"
+    return subprocess.Popen(
+        [sys.executable, driver, "dedup", "-i", f"pages:{src}", "-o", out,
+         "--checkpoint-dir", ckpt, "--min-jaccard", "0.5"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True, env=env,
+    )
+
+
+def test_dedup_job_survives_sigkill_mid_pipeline(spark, tmp_path):
+    from off_topic_memento_toolkit_spark.queries import pages_from_documents
+
+    src = str(tmp_path / "pages")
+    pages_from_documents(spark, "/root/testdata/sf0.01") \
+        .write.parquet(src)
+    driver = tmp_path / "driver.py"
+    driver.write_text(DRIVER)
+    out = str(tmp_path / "clusters")
+    ckpt = str(tmp_path / "ckpt")
+    docs_marker = os.path.join(ckpt, "docs._COMMIT.json")
+
+    proc = _launch(str(driver), src, out, ckpt)
+    try:
+        # kill -9 the whole process group (python driver + JVM) as soon as
+        # the first stage commits — mid-pipeline by construction
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if os.path.exists(docs_marker):
+                break
+            if proc.poll() is not None:
+                pytest.fail("job exited before the first stage committed")
+            time.sleep(0.1)
+        else:
+            pytest.fail("docs stage never committed")
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            os.killpg(proc.pid, signal.SIGKILL)
+    assert proc.returncode < 0  # killed, not completed
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))  # mid-pipeline
+
+    import json
+    with open(docs_marker) as fh:
+        first_commit = json.load(fh)
+
+    # relaunch with the SAME checkpoint root: must complete
+    proc2 = _launch(str(driver), src, out, ckpt)
+    assert proc2.wait(timeout=420) == 0
+
+    # the committed stage was REUSED (read), not recomputed: marker intact
+    with open(docs_marker) as fh:
+        second_commit = json.load(fh)
+    assert second_commit["committed_at_unix"] == \
+        first_commit["committed_at_unix"]
+    assert second_commit["rows"] == first_commit["rows"]
+
+    # and the finished pipeline is correct: every source doc labeled
+    clusters = spark.read.parquet(out)
+    assert clusters.count() == 500
+    assert clusters.select("component").distinct().count() >= 1
