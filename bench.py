@@ -61,7 +61,7 @@ def run(sf_dir: str, cpus: str):
     # bimodal with 2-4x swings (measured in BENCH.md); the minimum is the
     # reproducible engine cost, the max is the machine.  3 runs halves the
     # odds a query never sees the fast mode vs 2.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings = {}
     total_start = time.time()
     for name, fn in headline.items():

@@ -35,11 +35,10 @@ _WORKER = r"""
 import json, sys, time, os
 os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 sys.path.insert(0, {repo!r})
-from pyspark.sql import functions as F
+sys.path.insert(0, {repo!r} + "/scripts")
 from off_topic_memento_toolkit_spark.session import get_spark
-from off_topic_memento_toolkit_spark.operators.measures import score_timemap_measures
-from off_topic_memento_toolkit_spark.operators.lsh import minhash_candidate_pairs
-from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
+from bench_workload import (
+    MEASURES_WARM, build_pages, dedup_candidates, measures_suite, noop_write)
 
 cpus = {cpus}
 stage = {stage!r}
@@ -50,52 +49,21 @@ spark = get_spark(f"scaling-{{stage}}-{{cpus}}", master=master,
 spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 spark.sparkContext.setLogLevel("ERROR")
 
-def replicated_pages(r):
-    docs = spark.read.parquet({sf_dir!r} + "/documents.parquet")
-    if r > 0:
-        docs = docs.withColumn(
-            "text", F.concat(F.col("text"), F.lit(f" replica marker {{r}} "),
-                             (F.col("doc_id") % 97).cast("string")))
-    return docs.select(
-        F.concat(F.lit(f"http://rep{{r}}.docs.example/site"),
-                 (F.col("doc_id") % 50).cast("string")).alias("url"),
-        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 3600)
-         .alias("warc_ts"),
-        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
-                          F.lit("</p></body></html>")), "utf-8").alias("html"),
-        F.lit(None).cast("string").alias("text"),
-        F.col("lang"),
-    )
-
-pages = replicated_pages(0)
-for r in range(1, {replicate}):
-    pages = pages.unionByName(replicated_pages(r))
-pages = pages.repartition(64).persist()
+# the SHARED workload (scripts/bench_workload.py): identical corpus and
+# stages as the spark-submit harness, so cross-harness deltas are real
+pages = build_pages(spark, {sf_dir!r}, {replicate})
 n_docs = pages.count()
-
 warm = pages.limit(64)
 
 if stage == "measures":
-    score_timemap_measures(warm, measures=("wordcount", "cosine")) \
-        .write.format("noop").mode("overwrite").save()
+    noop_write(measures_suite(warm, MEASURES_WARM))
     start = time.time()
-    score_timemap_measures(
-        pages,
-        measures=("bytecount", "wordcount", "jaccard", "sorensen",
-                  "tfintersection", "levenshtein", "nlevenshtein",
-                  "raw_simhash", "tf_simhash", "cosine"),
-    ).write.format("noop").mode("overwrite").save()
+    noop_write(measures_suite(pages))
     elapsed = time.time() - start
 else:
-    docs_warm = prepare_pages(warm, need_tf_simhash=False).select(
-        F.xxhash64("urim").alias("nid"), "tokens")
-    minhash_candidate_pairs(docs_warm, id_col="nid", tokens_col="tokens") \
-        .write.format("noop").mode("overwrite").save()
+    noop_write(dedup_candidates(warm))
     start = time.time()
-    docs = prepare_pages(pages, need_tf_simhash=False).select(
-        F.xxhash64("urim").alias("nid"), "tokens")
-    minhash_candidate_pairs(docs, id_col="nid", tokens_col="tokens") \
-        .write.format("noop").mode("overwrite").save()
+    noop_write(dedup_candidates(pages))
     elapsed = time.time() - start
 
 print("RESULT " + json.dumps({{"cpus": cpus, "stage": stage,

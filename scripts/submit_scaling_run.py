@@ -28,59 +28,30 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 BEGIN = "<!-- submit-scaling:begin -->"
 END = "<!-- submit-scaling:end -->"
 
-_JOB = '''\
+# the package itself reaches driver AND executors only through --py-files;
+# the harness-side workload module is imported from the repo's scripts dir
+# so both scaling harnesses provably time the identical job
+_JOB = f'''\
 import json, sys, time
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
+
+sys.path.insert(0, {REPO + "/scripts"!r})
+from bench_workload import build_pages, dedup_candidates, noop_write
 
 sf_dir, replicate = sys.argv[1], int(sys.argv[2])
 spark = SparkSession.builder.getOrCreate()  # all conf from spark-submit
 spark.sparkContext.setLogLevel("ERROR")
 
-from off_topic_memento_toolkit_spark.operators.lsh import (
-    minhash_candidate_pairs,
-)
-from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
-
-
-def replicated_pages(r):
-    docs = spark.read.parquet(sf_dir + "/documents.parquet")
-    if r > 0:
-        docs = docs.withColumn(
-            "text", F.concat(F.col("text"), F.lit(f" replica marker {r} "),
-                             (F.col("doc_id") % 97).cast("string")))
-    return docs.select(
-        F.concat(F.lit(f"http://rep{r}.docs.example/site"),
-                 (F.col("doc_id") % 50).cast("string")).alias("url"),
-        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 3600)
-         .alias("warc_ts"),
-        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
-                          F.lit("</p></body></html>")), "utf-8").alias("html"),
-        F.lit(None).cast("string").alias("text"),
-        F.col("lang"),
-    )
-
-
-pages = replicated_pages(0)
-for r in range(1, replicate):
-    pages = pages.unionByName(replicated_pages(r))
-pages = pages.repartition(64).persist()
+pages = build_pages(spark, sf_dir, replicate)
 n_docs = pages.count()
-
-warm = prepare_pages(pages.limit(64), need_tf_simhash=False).select(
-    F.xxhash64("urim").alias("nid"), "tokens")
-minhash_candidate_pairs(warm, id_col="nid", tokens_col="tokens") \\
-    .write.format("noop").mode("overwrite").save()
+noop_write(dedup_candidates(pages.limit(64)))  # warmup excluded
 
 start = time.time()
-docs = prepare_pages(pages, need_tf_simhash=False).select(
-    F.xxhash64("urim").alias("nid"), "tokens")
-minhash_candidate_pairs(docs, id_col="nid", tokens_col="tokens") \\
-    .write.format("noop").mode("overwrite").save()
+noop_write(dedup_candidates(pages))
 elapsed = time.time() - start
 print("RESULT " + json.dumps(
-    {"n_docs": n_docs, "seconds": round(elapsed, 2),
-     "executors": spark.conf.get("spark.master")}))
+    {{"n_docs": n_docs, "seconds": round(elapsed, 2),
+      "executors": spark.conf.get("spark.master")}}))
 spark.stop()
 '''
 
@@ -88,14 +59,19 @@ spark.stop()
 def run_submit(zip_path, job_path, n_execs, cores, mem_mb, sf_dir, replicate):
     master = f"local-cluster[{n_execs},{cores},{mem_mb}]"
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    env["SPARK_MASTER"] = "from-submit"
-    env["SPARK_DRIVER_MEM"] = "8g"
+    # tmpfs shuffle/spill scratch, SAME as the in-process comparator
+    # (session.py) — without it the submit numbers would confound the
+    # executor boundary with tmpfs-vs-virtio-disk shuffle I/O
+    shm = "/dev/shm/spark-local"
+    os.makedirs(shm, exist_ok=True)
     proc = subprocess.run(
         ["spark-submit", "--master", master,
+         "--driver-memory", "8g",  # the actual knob; env vars don't apply
          "--conf", "spark.ui.enabled=false",
          "--conf", "spark.sql.shuffle.partitions=128",
          "--conf", "spark.sql.adaptive.coalescePartitions.enabled=false",
          "--conf", f"spark.executor.memory={mem_mb}m",
+         "--conf", f"spark.local.dir={shm}",
          "--conf", "spark.sql.session.timeZone=UTC",
          "--py-files", zip_path, job_path, sf_dir, str(replicate)],
         capture_output=True, text=True, timeout=3000, env=env,
@@ -192,11 +168,20 @@ def main():
         # median round.  Every round is printed so nothing hides.
         effs = sorted((((rd[lo] / rd[hi]) / (hi / lo), rd) for rd in rounds),
                       key=lambda t: t[0])  # dicts not comparable on ties
-        head_eff, head_rd = effs[-1]
-        label = "best same-round pair"
-        if head_rd[lo] > min(rd[lo] for rd in rounds) * 1.15:
-            head_eff, head_rd = effs[len(effs) // 2]
-            label = "median same-round pair (best round was a mode flip)"
+        # clean round = its low-width time is within 15% of the cross-round
+        # fastest, i.e. NOT a favorable slow-lo/fast-hi mid-round flip;
+        # headline = best clean round, else the lower-median of the flips
+        # ((len-1)//2: a plain len//2 selects the BEST of a 2-round list —
+        # the exact flipped round the guard exists to reject)
+        fastest_lo = min(rd[lo] for rd in rounds)
+        clean = [t for t in effs if t[1][lo] <= fastest_lo * 1.15]
+        if clean:
+            head_eff, head_rd = clean[-1]
+            label = "best same-round pair"
+        else:
+            head_eff, head_rd = effs[(len(effs) - 1) // 2]
+            label = ("median same-round pair "
+                     "(every round straddled a mode flip)")
         pairs_txt.append(
             f"- **{lo} → {hi} executors** ({label}: "
             f"{head_rd[lo]}s → {head_rd[hi]}s): speedup "
