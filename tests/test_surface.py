@@ -1025,3 +1025,36 @@ def test_bmp_decoder_adversarial_headers():
             decode_bmp(case)
     # negative height = top-down row order, a legal variant
     assert decode_bmp(mutate(payload, 22, -4)).shape == (4, 4, 3)
+
+
+def test_bench_md_marker_block_update(tmp_path, monkeypatch):
+    """submit_scaling_run.update_bench_md must replace ONLY its marked
+    block, preserve everything outside it (including the hand-written
+    analysis after the end marker), and insert before the reference
+    baseline on first write."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    mod = importlib.import_module("submit_scaling_run")
+    monkeypatch.setattr(mod, "REPO", str(tmp_path))
+
+    bench = tmp_path / "BENCH.md"
+    bench.write_text("# BENCH\n\ntop tables\n\nReference baseline: none\n")
+    mod.update_bench_md("FIRST BLOCK")
+    text = bench.read_text()
+    assert "FIRST BLOCK" in text
+    assert text.index("top tables") < text.index(mod.BEGIN)
+    assert text.index(mod.END) < text.index("Reference baseline")
+
+    # hand-written analysis outside the markers must survive a re-run
+    text = text.replace(mod.END + "\n",
+                        mod.END + "\nkeep-this-analysis\n")
+    bench.write_text(text)
+    mod.update_bench_md("SECOND BLOCK")
+    text = bench.read_text()
+    assert "SECOND BLOCK" in text and "FIRST BLOCK" not in text
+    assert "keep-this-analysis" in text
+    assert text.count(mod.BEGIN) == 1 and text.count(mod.END) == 1
