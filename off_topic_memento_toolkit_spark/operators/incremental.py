@@ -1,0 +1,319 @@
+"""Incremental (delta-batch) dedup: fold a NEW crawl increment into an
+already-deduplicated corpus without reprocessing history.
+
+The batch pipeline (plans/pipeline.py::dedup_pipeline) recomputes signatures,
+candidate pairs, and connected components over the WHOLE corpus.  At 10^12
+documents that is exactly what a daily ingest must not do: the increment is
+~10^9 docs, the corpus 1000x that.  This module gives the delta path:
+
+1. ``incremental_candidate_pairs`` — candidate pairs TOUCHING the new batch,
+   computed by pruning the checkpointed base band table to only the buckets
+   the delta collides with (a broadcast semi-join on the delta's bucket keys
+   — the base table is scanned once, map-side, and everything outside the
+   delta's key space is discarded before any shuffle).  Output semantics are
+   the exact restriction of a full recompute over base ∪ new to pairs with
+   ≥1 new endpoint: bucket membership (and therefore the hot-bucket cap) is
+   evaluated over base ∪ new per bucket, identical to what the full run
+   would see.
+2. ``incremental_components`` — merge the new verified edges into the prior
+   (id, component) assignment via CONTRACTION: each prior component is one
+   node (its label), new edges connect contracted nodes, and connected
+   components runs on that contracted graph — whose size is O(delta edges),
+   never O(corpus).  Because every prior label is the min member id of its
+   component (components.py invariant), the merged label — min over merged
+   components' labels — equals the min member id of the merged set: the
+   SAME labels a full recompute over (prior star edges ∪ new edges) yields.
+   The corpus-sized assignment table is touched by exactly one broadcast
+   join (relabel map is O(touched components)) — no corpus shuffle.
+
+Equivalence to full recompute: labels from the incremental path equal a
+batch rerun over base ∪ new whenever no delta-touched bucket crosses
+``max_bucket_size`` between the two runs (the cap is evaluated over
+base ∪ new either way, but a bucket that was UNDER the cap in the base-only
+run may exceed it once the delta lands: the batch rerun then drops its
+base×base pairs while the prior assignment already contains them).  The
+incremental contract is deliberately MONOTONE — prior merges are never
+undone — which is the behavior an ingest pipeline wants; the property test
+(tests/test_incremental.py) pins both the exact-equivalence case and the
+monotonicity.
+
+Scale shape (10^12 corpus, 10^9 delta):
+- base bands live in a checkpointed/Iceberg table bucketed by
+  (band, band_hash); the broadcast semi-join prunes at the scan,
+- one shuffle on the bucket key over pruned-base ∪ new (delta-sized),
+- verification joins touch only pair endpoints (delta-sized),
+- the CC runs on the contracted graph (delta-sized),
+- prior assignments are re-labeled with one broadcast hash join (map-only
+  over the corpus table — and since only touched components change, the
+  write can be a partition-level upsert/MERGE in the Iceberg store).
+"""
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .components import connected_components
+
+
+def _delta_touching_pairs(
+    base_rows: DataFrame,
+    new_rows: DataFrame,
+    key_cols: list,
+    max_bucket_size: int,
+    payload_cols: list = (),
+    broadcast_new_keys: bool = True,
+) -> DataFrame:
+    """Generic bucket-table delta pairing: rows are (id, *key_cols,
+    *payload_cols); returns (p) pair structs {u, v} (each carrying id +
+    payloads) where at least one endpoint is new.
+
+    The hot-bucket cap is a window count over base ∪ new — the same
+    spill-safe gate-BEFORE-collect order as the batch path (lsh.py:70-76),
+    and because pruning keeps EVERY member of every delta-touched bucket,
+    the count each bucket sees is identical to a full base ∪ new run."""
+    new_keys = new_rows.select(*key_cols).distinct()
+    if broadcast_new_keys:
+        new_keys = F.broadcast(new_keys)
+    pruned_base = base_rows.join(new_keys, key_cols, "left_semi")
+
+    member = F.struct(F.col("id"), F.col("is_new"),
+                      *[F.col(c) for c in payload_cols])
+    rows = (
+        pruned_base.withColumn("is_new", F.lit(False))
+        .unionByName(new_rows.withColumn("is_new", F.lit(True)))
+    )
+    counted = rows.withColumn(
+        "_n", F.count("*").over(Window.partitionBy(*key_cols)))
+    bounded = counted.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)).drop("_n")
+    buckets = bounded.groupBy(*key_cols).agg(
+        F.collect_list(member).alias("members"))
+    expand = (
+        "flatten(transform(members, (x, i) -> "
+        "transform(slice(members, i + 2, size(members) - i - 1), "
+        "y -> struct(x AS u, y AS v))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(expand)).alias("p"))
+        .filter(F.col("p.u.is_new") | F.col("p.v.is_new"))
+    )
+
+
+def incremental_candidate_pairs(
+    base_bands: DataFrame,
+    new_bands: DataFrame,
+    max_bucket_size: int = 64,
+    broadcast_new_keys: bool = True,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with ≥1 endpoint in the new batch.
+
+    ``base_bands`` / ``new_bands``: (id, band, band_hash) as produced by
+    lsh.py::minhash_band_table — the base side read back from the
+    checkpointed ``bands`` stage table, NOT recomputed.
+
+    Set ``broadcast_new_keys=False`` when the delta itself is huge (its
+    distinct bucket keys no longer fit a broadcast) — the prune then runs
+    as a shuffle semi-join, still touching only bucket keys, never texts."""
+    pairs = _delta_touching_pairs(
+        base_bands, new_bands, ["band", "band_hash"], max_bucket_size,
+        broadcast_new_keys=broadcast_new_keys,
+    )
+    return (
+        pairs.select(
+            F.least("p.u.id", "p.v.id").alias("id_a"),
+            F.greatest("p.u.id", "p.v.id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def incremental_simhash_pairs(
+    base_chunks: DataFrame,
+    new_chunks: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int = 64,
+    broadcast_new_keys: bool = True,
+) -> DataFrame:
+    """SimHash Hamming-ball pairs with ≥1 endpoint in the new batch.
+
+    ``*_chunks``: (id, simhash, chunk, chunk_value) as produced by
+    lsh.py::simhash_chunk_table; the exact ``bit_count`` verify runs
+    JVM-side on the expanded pairs, exactly like the batch path."""
+    pairs = _delta_touching_pairs(
+        base_chunks, new_chunks, ["chunk", "chunk_value"], max_bucket_size,
+        payload_cols=["simhash"], broadcast_new_keys=broadcast_new_keys,
+    )
+    return (
+        pairs.filter(
+            F.bit_count(
+                F.col("p.u.simhash").bitwiseXOR(F.col("p.v.simhash"))
+            ) <= max_hamming
+        )
+        .select(
+            F.least("p.u.id", "p.v.id").alias("id_a"),
+            F.greatest("p.u.id", "p.v.id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def incremental_components(
+    prior_assignments: DataFrame,
+    new_edges: DataFrame,
+    new_ids: DataFrame,
+    cc_kwargs: dict | None = None,
+) -> DataFrame:
+    """Fold verified delta edges into a prior (id, component) assignment.
+
+    - ``prior_assignments``: every base doc labeled (singletons label
+      themselves — attach_components semantics; labels are component-min
+      ids).
+    - ``new_edges``: (id_a, id_b) verified pairs touching the delta.
+    - ``new_ids``: (id) — every doc in the delta (edge-less delta docs
+      become their own singleton components).
+
+    Returns the FULL updated assignment (base ∪ new).  The corpus-sized
+    ``prior_assignments`` is touched by exactly one broadcast join against
+    the O(touched-components) relabel map; the CC itself runs on the
+    contracted component graph, which is O(len(new_edges))."""
+    prior_by_id = prior_assignments.select("id", "component")
+
+    # contract: each endpoint → its prior component (itself when unknown,
+    # i.e. a delta doc or a base doc the prior table somehow missed).
+    # Scale shape: the corpus-sized prior table is first PRUNED to the edge
+    # endpoints with a broadcast semi-join (map-only corpus scan — a direct
+    # left join from the edges would hash-shuffle the whole prior table,
+    # since the left side of a left-outer cannot be broadcast); the pruned
+    # lookup is delta-sized and broadcasts into both endpoint joins.
+    endpoint_ids = (
+        new_edges.select(F.col("id_a").alias("id"))
+        .unionByName(new_edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    touched_prior = prior_by_id.join(
+        F.broadcast(endpoint_ids), "id", "left_semi")
+    contracted = (
+        new_edges
+        .join(F.broadcast(touched_prior.withColumnRenamed("id", "id_a")
+                          .withColumnRenamed("component", "_comp_a")),
+              "id_a", "left")
+        .join(F.broadcast(touched_prior.withColumnRenamed("id", "id_b")
+                          .withColumnRenamed("component", "_comp_b")),
+              "id_b", "left")
+        .select(
+            F.coalesce("_comp_a", "id_a").alias("src"),
+            F.coalesce("_comp_b", "id_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    labels = connected_components(contracted, **(cc_kwargs or {}))
+    # labels: (id=contracted node, component=merged min).  Contracted nodes
+    # are prior component labels and/or delta doc ids.
+    relabel = labels.withColumnRenamed("id", "_node").withColumnRenamed(
+        "component", "_merged")
+
+    updated_base = (
+        prior_assignments.join(
+            F.broadcast(relabel),
+            prior_assignments["component"] == relabel["_node"], "left")
+        .select(
+            prior_assignments["id"],
+            F.coalesce("_merged", prior_assignments["component"])
+            .alias("component"),
+        )
+    )
+    new_assign = (
+        new_ids.select("id")
+        .join(F.broadcast(relabel),
+              new_ids["id"] == relabel["_node"], "left")
+        .select(
+            new_ids["id"],
+            F.coalesce("_merged", new_ids["id"]).alias("component"),
+        )
+    )
+    return updated_base.unionByName(new_assign)
+
+
+def incremental_dedup_update(
+    base_docs: DataFrame,
+    base_bands: DataFrame,
+    prior_assignments: DataFrame,
+    new_pages: DataFrame,
+    store=None,
+    num_perm: int = 128,
+    shingle_words: int = 5,
+    bands: int = 32,
+    min_jaccard: float = 0.8,
+    max_bucket_size: int = 64,
+    broadcast_new_keys: bool = True,
+) -> dict:
+    """One ingest increment end-to-end: new pages → signatures → delta
+    candidate pairs → Jaccard verify → merged assignment.
+
+    ``base_docs``: (nid, urim, text, tokens, ...) — the checkpointed ``docs``
+    stage (needed only to verify base-side pair endpoints; the join touches
+    pair endpoints, not the corpus).
+    ``store``: optional CheckpointStore — each delta stage commits as
+    ``inc_<name>`` so a killed ingest resumes (same contract as
+    dedup_pipeline).
+
+    Returns {"docs", "bands", "candidates", "verified", "assignments"}; the
+    new stage tables are what the NEXT increment uses as its base (append
+    bands/docs, replace assignments)."""
+    from ..operators.lsh import minhash_band_table
+    from ..operators.timeline import prepare_pages
+
+    def stage(name, build):
+        if store is None:
+            return build()
+        return store.run_stage(name, build)
+
+    def build_docs():
+        return prepare_pages(new_pages, need_tf_simhash=False).select(
+            F.xxhash64("urim").alias("nid"),
+            "urim", "text", "tokens", "raw_simhash",
+        )
+
+    new_docs = stage("inc_docs", build_docs)
+
+    def build_bands():
+        return minhash_band_table(
+            new_docs, id_col="nid", tokens_col="tokens",
+            num_perm=num_perm, shingle_words=shingle_words, bands=bands)
+
+    new_bands = stage("inc_bands", build_bands)
+
+    def build_candidates():
+        return incremental_candidate_pairs(
+            base_bands, new_bands, max_bucket_size=max_bucket_size,
+            broadcast_new_keys=broadcast_new_keys)
+
+    candidates = stage("inc_candidates", build_candidates)
+
+    def build_verified():
+        from ..operators.verify import verified_pairs_jaccard
+
+        all_docs = base_docs.select("nid", "tokens").unionByName(
+            new_docs.select("nid", "tokens"))
+        return verified_pairs_jaccard(
+            candidates, all_docs, id_col="nid", tokens_col="tokens",
+            min_jaccard=min_jaccard,
+        ).select("id_a", "id_b")
+
+    verified = stage("inc_verified", build_verified)
+
+    def build_assignments():
+        return incremental_components(
+            prior_assignments.select(
+                F.col("nid").alias("id"), "component"),
+            verified,
+            new_docs.select(F.col("nid").alias("id")),
+        ).select(F.col("id").alias("nid"), "component")
+
+    assignments = stage("inc_assignments", build_assignments)
+    return {
+        "docs": new_docs,
+        "bands": new_bands,
+        "candidates": candidates,
+        "verified": verified,
+        "assignments": assignments,
+    }

@@ -1,0 +1,278 @@
+"""Incremental (delta-batch) dedup: restriction semantics, cap behavior,
+contraction-CC equivalence, monotonicity, and the end-to-end increment
+against a full batch recompute (operators/incremental.py)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from off_topic_memento_toolkit_spark.operators.components import (
+    attach_components,
+    connected_components,
+)
+from off_topic_memento_toolkit_spark.operators.incremental import (
+    incremental_candidate_pairs,
+    incremental_components,
+    incremental_dedup_update,
+    incremental_simhash_pairs,
+)
+from off_topic_memento_toolkit_spark.operators.lsh import (
+    candidate_pairs_from_buckets,
+    minhash_band_table,
+    simhash_candidate_pairs,
+    simhash_chunk_table,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs_set(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def _band_rows(spark, rows):
+    return spark.createDataFrame(rows, "id long, band int, band_hash long")
+
+
+# --------------------------------------------------------------- candidates
+
+def test_incremental_pairs_are_exact_restriction_of_full(spark):
+    """incr(base, new) == full(base ∪ new) ∩ {pairs touching new}: generated
+    over real minhash bands of synthetic near-dup token docs."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for i in range(40):
+        base_tokens = [rng.choice(vocab) for _ in range(60)]
+        docs.append((i, base_tokens))
+        if i % 3 == 0:  # a near-dup partner with a small perturbation
+            twin = list(base_tokens)
+            twin[5] = rng.choice(vocab)
+            docs.append((1000 + i, twin))
+    df = spark.createDataFrame(docs, "id long, tokens array<string>")
+    new_df = df.filter(F.col("id") % 5 == 0)
+    base_df = df.subtract(new_df)
+    new_ids = {r.id for r in new_df.select("id").collect()}
+
+    bands_all = minhash_band_table(df, id_col="id", tokens_col="tokens")
+    bands_base = minhash_band_table(base_df, id_col="id", tokens_col="tokens")
+    bands_new = minhash_band_table(new_df, id_col="id", tokens_col="tokens")
+
+    full = _pairs_set(candidate_pairs_from_buckets(bands_all))
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    got = _pairs_set(incremental_candidate_pairs(bands_base, bands_new))
+    assert got == expected
+    assert expected  # non-vacuous: the twins must collide
+
+
+def test_incremental_pairs_cap_counts_base_plus_new(spark):
+    """The hot-bucket cap sees base ∪ new membership: a bucket under the cap
+    on the base side alone but over it once the delta lands is dropped."""
+    cap = 4
+    # bucket A: 3 base + 2 new = 5 > cap → dropped entirely
+    # bucket B: 2 base + 1 new = 3 ≤ cap → all delta-touching pairs
+    # bucket C: base-only → contributes nothing (no delta endpoint)
+    base = _band_rows(spark, [
+        (1, 0, 100), (2, 0, 100), (3, 0, 100),
+        (10, 0, 200), (11, 0, 200),
+        (20, 0, 300), (21, 0, 300),
+    ])
+    new = _band_rows(spark, [
+        (4, 0, 100), (5, 0, 100),
+        (12, 0, 200),
+    ])
+    got = _pairs_set(incremental_candidate_pairs(base, new, max_bucket_size=cap))
+    assert got == {(10, 12), (11, 12)}
+
+
+def test_incremental_pairs_all_base_bucket_pruned(spark):
+    """Buckets without a delta member never reach the shuffle: the plan
+    contains the broadcast semi-join prune."""
+    base = _band_rows(spark, [(1, 0, 1), (2, 0, 1), (3, 1, 9), (4, 1, 9)])
+    new = _band_rows(spark, [(5, 0, 1)])
+    result = incremental_candidate_pairs(base, new)
+    assert _pairs_set(result) == {(1, 5), (2, 5)}
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_incremental_simhash_pairs_match_full_restriction(spark):
+    rng = random.Random(21)
+    vals = []
+    for i in range(60):
+        v = rng.getrandbits(64)
+        vals.append((i, v - (1 << 64) if v >= (1 << 63) else v))
+        if i % 4 == 0:  # hamming-1 twin
+            tw = vals[-1][1] ^ (1 << rng.randrange(64))
+            vals.append((1000 + i, tw))
+    df = spark.createDataFrame(vals, "id long, simhash long")
+    new_df = df.filter(F.col("id") % 3 == 0)
+    base_df = df.subtract(new_df)
+    new_ids = {r.id for r in new_df.select("id").collect()}
+
+    full = _pairs_set(simhash_candidate_pairs(
+        df, id_col="id", simhash_col="simhash", max_hamming=3))
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    got = _pairs_set(incremental_simhash_pairs(
+        simhash_chunk_table(base_df, id_col="id", simhash_col="simhash"),
+        simhash_chunk_table(new_df, id_col="id", simhash_col="simhash"),
+        max_hamming=3))
+    assert got == expected and expected
+
+
+# --------------------------------------------------------------- components
+
+def _cc_dict(df):
+    return {r.id: r.component for r in df.collect()}
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_incremental_components_equal_full_recompute(spark, seed):
+    """Contraction CC == CC over (prior star edges ∪ new edges), on random
+    graphs: base graph → prior labels; delta nodes + mixed edges folded in."""
+    rng = random.Random(seed)
+    base_nodes = list(range(100))
+    delta_nodes = list(range(200, 230))
+    base_edges = [(rng.choice(base_nodes), rng.choice(base_nodes))
+                  for _ in range(60)]
+    mixed = base_nodes + delta_nodes
+    new_edges = [(rng.choice(mixed), rng.choice(delta_nodes))
+                 for _ in range(40)]
+
+    nodes_df = spark.createDataFrame([(n,) for n in base_nodes], "id long")
+    base_edges_df = spark.createDataFrame(base_edges, "src long, dst long")
+    prior = attach_components(nodes_df, base_edges_df, id_col="id")
+
+    new_edges_df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in new_edges if a != b],
+        "id_a long, id_b long")
+    delta_df = spark.createDataFrame([(n,) for n in delta_nodes], "id long")
+
+    got = _cc_dict(incremental_components(prior, new_edges_df, delta_df))
+
+    all_nodes = spark.createDataFrame(
+        [(n,) for n in base_nodes + delta_nodes], "id long")
+    union_edges = base_edges_df.unionByName(
+        new_edges_df.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst")))
+    want = _cc_dict(attach_components(all_nodes, union_edges, id_col="id"))
+    assert got == want
+
+
+def test_incremental_components_monotone(spark):
+    """Prior merges survive: ids sharing a prior component still share one."""
+    prior = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)], "id long, component long")
+    new_edges = spark.createDataFrame([(3, 200)], "id_a long, id_b long")
+    delta = spark.createDataFrame([(200,), (201,)], "id long")
+    got = _cc_dict(incremental_components(prior, new_edges, delta))
+    assert got[1] == got[2] and got[3] == got[4]
+    assert got[3] == got[200] == 3  # merged set keeps the min label
+    assert got[5] == 5 and got[201] == 201  # untouched + edge-less singleton
+
+
+def test_incremental_components_empty_delta_edges(spark):
+    prior = spark.createDataFrame([(1, 1), (2, 1)], "id long, component long")
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    delta = spark.createDataFrame([(9,)], "id long")
+    got = _cc_dict(incremental_components(prior, empty_edges, delta))
+    assert got == {1: 1, 2: 1, 9: 9}
+
+
+# --------------------------------------------------------------- end-to-end
+
+def test_incremental_update_matches_batch_recompute(spark, tmp_path):
+    """Full e2e on sf0.001 pages: base batch deduped, delta folded in via
+    incremental_dedup_update == batch dedup_pipeline over base ∪ delta.
+    (Exact equivalence holds because no delta-touched bucket crosses the
+    cap at this SF — asserted inside.)"""
+    from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
+    from off_topic_memento_toolkit_spark.operators.verify import (
+        verified_pairs_jaccard,
+    )
+    from off_topic_memento_toolkit_spark.plans.pipeline import dedup_pipeline
+    from off_topic_memento_toolkit_spark.queries import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    # deterministic split on the embedded doc timestamp (pages carry no
+    # doc_id): ~1/5 of rows are the delta
+    delta_pred = (F.unix_timestamp("warc_ts") / 3600) % 5 == 0
+    new_pages = pages.filter(delta_pred)
+    base_pages = pages.filter(~delta_pred)
+
+    base_docs = prepare_pages(base_pages, need_tf_simhash=False).select(
+        F.xxhash64("urim").alias("nid"), "urim", "text", "tokens",
+        "raw_simhash").persist()
+    base_bands = minhash_band_table(
+        base_docs, id_col="nid", tokens_col="tokens").persist()
+    base_candidates = candidate_pairs_from_buckets(base_bands)
+    base_verified = verified_pairs_jaccard(
+        base_candidates, base_docs, id_col="nid", tokens_col="tokens",
+        min_jaccard=0.8).select("id_a", "id_b")
+    prior = attach_components(
+        base_docs.select("nid"), base_verified.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="nid").select(F.col("nid"), "component") \
+        .withColumnRenamed("nid", "id") \
+        .select(F.col("id").alias("nid"), "component")
+
+    result = incremental_dedup_update(
+        base_docs, base_bands, prior, new_pages)
+    got = {r.nid: r.component for r in result["assignments"].collect()}
+
+    # batch recompute over the union, minhash channel only (the incremental
+    # path under test is the minhash one)
+    full = dedup_pipeline(pages, use_simhash_channel=False)
+    all_docs = prepare_pages(pages, need_tf_simhash=False).select(
+        F.xxhash64("urim").alias("nid"), F.col("urim"))
+    want = {
+        r.nid: r.component
+        for r in full.join(all_docs, "urim").select("nid", "component").collect()
+    }
+    assert got == want
+
+    # cap-precondition: no bucket over the union crosses max_bucket_size
+    union_bands = minhash_band_table(
+        prepare_pages(pages, need_tf_simhash=False).select(
+            F.xxhash64("urim").alias("nid"), "tokens"),
+        id_col="nid", tokens_col="tokens")
+    max_bucket = (union_bands.groupBy("band", "band_hash").count()
+                  .agg(F.max("count")).first()[0])
+    assert max_bucket <= 64
+    base_docs.unpersist()
+    base_bands.unpersist()
+
+
+def test_incremental_update_resumes_from_store(spark, tmp_path):
+    """Each inc_* stage commits; a relaunch replays committed stages as
+    reads (same CheckpointStore contract as the batch pipeline)."""
+    from off_topic_memento_toolkit_spark.plans.checkpoints import (
+        CheckpointStore,
+    )
+    from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
+    from off_topic_memento_toolkit_spark.queries import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_DIR)
+    delta_pred = (F.unix_timestamp("warc_ts") / 3600) % 5 == 0
+    new_pages = pages.filter(delta_pred)
+    base_pages = pages.filter(~delta_pred)
+    base_docs = prepare_pages(base_pages, need_tf_simhash=False).select(
+        F.xxhash64("urim").alias("nid"), "urim", "text", "tokens",
+        "raw_simhash")
+    base_bands = minhash_band_table(
+        base_docs, id_col="nid", tokens_col="tokens")
+    prior = base_docs.select(
+        F.col("nid"), F.col("nid").alias("component"))
+
+    store = CheckpointStore(spark, str(tmp_path / "inc"), run_id="t")
+    first = incremental_dedup_update(
+        base_docs, base_bands, prior, new_pages, store=store)
+    n_first = first["assignments"].count()
+    for name in ("inc_docs", "inc_bands", "inc_candidates", "inc_verified",
+                 "inc_assignments"):
+        assert store.is_committed(name), name
+
+    second = incremental_dedup_update(
+        base_docs, base_bands, prior, new_pages, store=store)
+    assert second["assignments"].count() == n_first
