@@ -186,6 +186,128 @@ JOIN b y ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id
 JOIN ok o ON x.band = o.band AND x.band_hash = o.band_hash"""
 
 
+# -------------------------------------------------- incremental_lsh_pairs
+
+def _split_pages_for_increment(spark: SparkSession, sf_dir: str):
+    """Deterministic base/delta split of the pages table (~1/5 delta) on the
+    embedded doc timestamp — the same predicate in both dialects."""
+    pages = _pages(spark, sf_dir)
+    delta_pred = (F.unix_timestamp("warc_ts") / 3600) % 5 == 0
+    return pages.filter(~delta_pred), pages.filter(delta_pred)
+
+
+def q_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-batch candidate generation (operators/incremental.py): the base
+    band table is PRUNED to delta-touched buckets via a broadcast semi-join;
+    the oracle independently recomputes over ALL base ∪ new buckets and
+    restricts to pairs with a new endpoint — hash equality proves the
+    pruned path is the exact restriction of a full recompute."""
+    from .operators.incremental import incremental_candidate_pairs
+    from .operators.lsh import minhash_band_table
+    from .operators.timeline import prepare_pages
+
+    base_pages, new_pages = _split_pages_for_increment(spark, sf_dir)
+    base_docs = prepare_pages(base_pages, need_raw_simhash=False,
+                              need_tf_simhash=False)
+    new_docs = prepare_pages(new_pages, need_raw_simhash=False,
+                             need_tf_simhash=False)
+    base_bands = _materialize(
+        minhash_band_table(base_docs, id_col="urim", tokens_col="tokens"),
+        "inc_bands_base")
+    new_bands = _materialize(
+        minhash_band_table(new_docs, id_col="urim", tokens_col="tokens"),
+        "inc_bands_new")
+    return incremental_candidate_pairs(base_bands, new_bands)
+
+
+SQL_INCREMENTAL_PAIRS = f"""
+WITH b AS (
+  SELECT id, band, band_hash, FALSE AS is_new FROM {_mat('inc_bands_base')}
+  UNION ALL
+  SELECT id, band, band_hash, TRUE AS is_new FROM {_mat('inc_bands_new')}
+),
+ok AS (
+  SELECT band, band_hash FROM b
+  GROUP BY band, band_hash HAVING count(*) BETWEEN 2 AND 64
+)
+SELECT DISTINCT least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b
+FROM b x
+JOIN b y ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id
+JOIN ok o ON x.band = o.band AND x.band_hash = o.band_hash
+WHERE x.is_new OR y.is_new"""
+
+
+# ------------------------------------------------- incremental_dedup_merge
+
+def q_incremental_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contraction-CC cluster merge (operators/incremental.py): the base
+    corpus is deduped batch-style into a prior (id, component) assignment;
+    the delta's verified edges fold in via the contracted component graph.
+    Oracle: recursive-CTE connected components over (prior star edges ∪ new
+    edges) — the incremental path must produce the labels a from-scratch
+    closure over that union graph yields."""
+    from .operators.components import attach_components
+    from .operators.incremental import (
+        incremental_candidate_pairs,
+        incremental_components,
+    )
+    from .operators.lsh import candidate_pairs_from_buckets, minhash_band_table
+    from .operators.timeline import prepare_pages
+    from .operators.verify import verified_pairs_jaccard
+
+    base_pages, new_pages = _split_pages_for_increment(spark, sf_dir)
+
+    def docs_of(pages):
+        return prepare_pages(pages, need_raw_simhash=False,
+                             need_tf_simhash=False).select(
+            F.xxhash64("urim").alias("nid"), "urim", "tokens")
+
+    base_docs = docs_of(base_pages)
+    new_docs = docs_of(new_pages)
+    base_bands = minhash_band_table(
+        base_docs, id_col="nid", tokens_col="tokens")
+    base_verified = verified_pairs_jaccard(
+        candidate_pairs_from_buckets(base_bands), base_docs,
+        id_col="nid", tokens_col="tokens", min_jaccard=0.8)
+    prior = attach_components(
+        base_docs.select("nid"),
+        base_verified.select(F.col("id_a").alias("src"),
+                             F.col("id_b").alias("dst")),
+        id_col="nid",
+    ).select(F.col("nid").alias("id"), "component")
+    prior = _materialize(prior, "inc_prior")
+
+    new_bands = minhash_band_table(new_docs, id_col="nid", tokens_col="tokens")
+    all_docs = base_docs.select("nid", "tokens").unionByName(
+        new_docs.select("nid", "tokens"))
+    inc_verified = verified_pairs_jaccard(
+        incremental_candidate_pairs(base_bands, new_bands), all_docs,
+        id_col="nid", tokens_col="tokens", min_jaccard=0.8,
+    ).select("id_a", "id_b")
+    inc_verified = _materialize(inc_verified, "inc_new_edges")
+    new_ids = _materialize(new_docs.select(F.col("nid").alias("id")),
+                           "inc_new_ids")
+    return incremental_components(prior, inc_verified, new_ids)
+
+
+SQL_INCREMENTAL_MERGE = f"""
+WITH RECURSIVE
+pr AS (SELECT id, component FROM {_mat('inc_prior')}),
+ne AS (SELECT id_a, id_b FROM {_mat('inc_new_edges')} WHERE id_a <> id_b),
+e AS (SELECT id AS a, component AS b FROM pr WHERE id <> component
+      UNION SELECT id_a, id_b FROM ne),
+sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (SELECT src, least(min(dst), src) AS component FROM reach GROUP BY src),
+ids AS (SELECT id FROM pr UNION SELECT id FROM {_mat('inc_new_ids')})
+SELECT ids.id AS id, coalesce(c.component, ids.id) AS component
+FROM ids LEFT JOIN comp c ON ids.id = c.src"""
+
+
 # --------------------------------------------------- simhash_hamming_pairs
 
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,6 +1224,8 @@ def mat_queries() -> dict:
         "streaming_dedup_batch": q_streaming_dedup_batch,
         "streaming_stateful_dedup": q_streaming_stateful_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_lsh_pairs": q_incremental_lsh_pairs,
+        "incremental_dedup_merge": q_incremental_dedup_merge,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1123,6 +1247,8 @@ def mat_oracle_sql() -> dict:
         "streaming_dedup_batch": SQL_STREAMING_DEDUP,
         "streaming_stateful_dedup": SQL_STREAMING_STATEFUL,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
+        "incremental_lsh_pairs": SQL_INCREMENTAL_PAIRS,
+        "incremental_dedup_merge": SQL_INCREMENTAL_MERGE,
         "simhash_hamming_pairs": SQL_SIMHASH_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
