@@ -174,6 +174,32 @@ def main(argv=None, spark=None):
     filt.add_argument("--threshold", type=float, default=0.2,
                       help="D1 hamming/64 threshold (default 0.2)")
 
+    ingest = sub.add_parser(
+        "ingest", help="incremental dedup: fold a NEW batch of pages into "
+                       "an existing dedup checkpoint without reprocessing "
+                       "history (delta-pruned candidates + contraction CC)")
+    ingest.add_argument("-i", "--input", required=True,
+                        help="the new batch (pages:/warc: input)")
+    ingest.add_argument("--base-checkpoint-dir", required=True,
+                        help="checkpoint dir of a prior `dedup "
+                             "--checkpoint-dir` run (needs docs, bands, "
+                             "clusters stages)")
+    ingest.add_argument("--base-run-id", default="run-0")
+    ingest.add_argument("-o", "--output", required=True,
+                        help="merged (urim, component) parquet")
+    ingest.add_argument("--checkpoint-dir",
+                        help="the increment's own resumable stage dir")
+    ingest.add_argument("--run-id", default="inc-0")
+    ingest.add_argument("--num-perm", type=int, default=128)
+    ingest.add_argument("--bands", type=int, default=32)
+    ingest.add_argument("--shingle-words", type=int, default=5)
+    ingest.add_argument("--min-jaccard", type=float, default=0.8)
+    ingest.add_argument("--promote", action="store_true",
+                        help="commit merged docs/bands/clusters back to the "
+                             "base checkpoint as new snapshot versions (the "
+                             "next increment then runs against the updated "
+                             "corpus; old versions stay time-travelable)")
+
     metrics = sub.add_parser(
         "metrics", help="per-stage lineage/metrics from a checkpoint dir")
     metrics.add_argument("--checkpoint-dir", required=True)
@@ -264,6 +290,39 @@ def main(argv=None, spark=None):
             verify_method=args.verify_method,
         )
         clusters.write.mode("overwrite").parquet(args.output)
+
+    elif args.command == "ingest":
+        from pyspark.sql import functions as F
+
+        from .operators.incremental import incremental_dedup_update
+
+        new_pages, _ = _read_pages(spark, args.input)
+        base = CheckpointStore(spark, args.base_checkpoint_dir,
+                               args.base_run_id)
+        for required in ("docs", "bands", "clusters"):
+            if not base.is_committed(required):
+                raise SystemExit(
+                    f"base checkpoint has no committed {required!r} stage — "
+                    f"run `dedup --checkpoint-dir` over the corpus first")
+        base_docs = base.read("docs")
+        base_bands = base.read("bands")
+        prior = base.read("clusters").select(
+            F.xxhash64("urim").alias("nid"), "component")
+        inc_store = (CheckpointStore(spark, args.checkpoint_dir, args.run_id)
+                     if args.checkpoint_dir else None)
+        result = incremental_dedup_update(
+            base_docs, base_bands, prior, new_pages, store=inc_store,
+            num_perm=args.num_perm, bands=args.bands,
+            shingle_words=args.shingle_words, min_jaccard=args.min_jaccard)
+        urims = base_docs.select("nid", "urim").unionByName(
+            result["docs"].select("nid", "urim"))
+        merged = result["assignments"].join(urims, "nid") \
+            .select("urim", "component")
+        merged.write.mode("overwrite").parquet(args.output)
+        if args.promote:
+            base.write(base_docs.unionByName(result["docs"]), "docs")
+            base.write(base_bands.unionByName(result["bands"]), "bands")
+            base.write(merged, "clusters")
 
     elif args.command == "stats":
         from pyspark.sql import functions as F

@@ -243,6 +243,8 @@ def incremental_dedup_update(
     shingle_words: int = 5,
     bands: int = 32,
     min_jaccard: float = 0.8,
+    max_hamming: int = 3,
+    use_simhash_channel: bool = True,
     max_bucket_size: int = 64,
     broadcast_new_keys: bool = True,
 ) -> dict:
@@ -283,9 +285,26 @@ def incremental_dedup_update(
     new_bands = stage("inc_bands", build_bands)
 
     def build_candidates():
-        return incremental_candidate_pairs(
+        minhash_pairs = incremental_candidate_pairs(
             base_bands, new_bands, max_bucket_size=max_bucket_size,
             broadcast_new_keys=broadcast_new_keys)
+        if not use_simhash_channel:
+            return minhash_pairs
+        # the simhash chunk table is cheap column math over the stored
+        # raw_simhash — derived on the fly from the docs tables (map-only;
+        # the broadcast semi-join prune then discards everything outside the
+        # delta's chunk-key space before any shuffle), matching the batch
+        # pipeline's dual-channel candidates
+        from ..operators.lsh import simhash_chunk_table
+
+        simhash_pairs = incremental_simhash_pairs(
+            simhash_chunk_table(base_docs, id_col="nid",
+                                simhash_col="raw_simhash"),
+            simhash_chunk_table(new_docs, id_col="nid",
+                                simhash_col="raw_simhash"),
+            max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+            broadcast_new_keys=broadcast_new_keys)
+        return minhash_pairs.union(simhash_pairs).distinct()
 
     candidates = stage("inc_candidates", build_candidates)
 

@@ -21,7 +21,11 @@ from ..operators.curation import (
     select_representatives,
     slice_by_datetime,
 )
-from ..operators.lsh import minhash_candidate_pairs, simhash_candidate_pairs
+from ..operators.lsh import (
+    candidate_pairs_from_buckets,
+    minhash_band_table,
+    simhash_candidate_pairs,
+)
 from ..operators.measures import (
     memento_metadata,
     overall_status,
@@ -106,11 +110,20 @@ def dedup_pipeline(
         # extract/tokenize/simhash UDF lineage runs once
         docs = docs.persist()
 
-    def build_candidates():
-        minhash_pairs = minhash_candidate_pairs(
+    def build_bands():
+        # checkpointed as its OWN stage: the band table is the corpus state
+        # an incremental ingest (operators/incremental.py) joins new batches
+        # against — without it, every increment would re-run the minhash
+        # UDF over the whole history
+        return minhash_band_table(
             docs, id_col="nid", tokens_col="tokens",
             num_perm=num_perm, shingle_words=shingle_words, bands=bands,
         )
+
+    band_table = stage("bands", build_bands)
+
+    def build_candidates():
+        minhash_pairs = candidate_pairs_from_buckets(band_table)
         if not use_simhash_channel:
             return minhash_pairs
         simhash_pairs = simhash_candidate_pairs(

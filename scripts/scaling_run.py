@@ -293,17 +293,18 @@ def main():
                     f"contention alone.")
         probe_block = "\n".join(lines) + "\n"
 
-    # preserve the spark-submit N-vs-4N-executors section maintained by
-    # scripts/submit_scaling_run.py across wholesale rewrites
+    # preserve the marker sections other harnesses maintain
+    # (submit_scaling_run.py, datascale_run.py) across wholesale rewrites
     submit_block = ""
     bench_path = os.path.join(REPO, "BENCH.md")
     if os.path.exists(bench_path):
         with open(bench_path) as fh:
             old = fh.read()
-        begin, end = "<!-- submit-scaling:begin -->", "<!-- submit-scaling:end -->"
-        if begin in old and end in old:
-            submit_block = old[old.index(begin): old.index(end) + len(end)] \
-                + "\n\n"
+        for tag in ("submit-scaling", "data-scaling"):
+            begin, end = f"<!-- {tag}:begin -->", f"<!-- {tag}:end -->"
+            if begin in old and end in old:
+                submit_block += \
+                    old[old.index(begin): old.index(end) + len(end)] + "\n\n"
 
     with open(bench_path, "w") as fh:
         fh.write(f"""# BENCH — throughput & scaling evidence

@@ -218,7 +218,7 @@ def test_incremental_update_matches_batch_recompute(spark, tmp_path):
         .select(F.col("id").alias("nid"), "component")
 
     result = incremental_dedup_update(
-        base_docs, base_bands, prior, new_pages)
+        base_docs, base_bands, prior, new_pages, use_simhash_channel=False)
     got = {r.nid: r.component for r in result["assignments"].collect()}
 
     # batch recompute over the union, minhash channel only (the incremental
