@@ -47,6 +47,8 @@ def main():
         "offtopic_measures_full": full_suite_query,
         "offtopic_measures_core": mat["offtopic_measures_core"],
         "minhash_lsh_pairs": mat["minhash_lsh_pairs"],
+        "incremental_lsh_pairs": mat["incremental_lsh_pairs"],
+        "incremental_dedup_merge": mat["incremental_dedup_merge"],
         "simhash_hamming_pairs": mat["simhash_hamming_pairs"],
         "curation_story": mat["curation_story"],
         "ann_lsh_topk": mat["ann_lsh_topk"],
@@ -66,6 +68,15 @@ def main():
             "signature UDF map-side; spill-safe window size gate and the "
             "collect_list share ONE hash exchange; distinct adds the second; "
             "no joins anywhere."),
+        "incremental_lsh_pairs": (
+            "delta-batch candidates: base band table pruned to delta-touched "
+            "buckets by a broadcast SEMI-join before any shuffle; then the "
+            "same one-exchange gate+collect+expand as the batch path."),
+        "incremental_dedup_merge": (
+            "contraction CC: prior assignments pruned to edge endpoints "
+            "(broadcast semi-join), contracted edges resolved by the hybrid "
+            "CC, corpus relabeled by ONE broadcast join — no corpus-sized "
+            "shuffle anywhere in the merge."),
         "simhash_hamming_pairs": "same shape over 4x16-bit chunk buckets.",
         "curation_story": (
             "W3 global order via the lazy two-phase ranking: range "
