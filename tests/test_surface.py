@@ -1027,8 +1027,13 @@ def test_bmp_decoder_adversarial_headers():
     assert decode_bmp(mutate(payload, 22, -4)).shape == (4, 4, 3)
 
 
-def test_bench_md_marker_block_update(tmp_path, monkeypatch):
-    """submit_scaling_run.update_bench_md must replace ONLY its marked
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("module_name",
+                          ["submit_scaling_run", "datascale_run"])
+def test_bench_md_marker_block_update(tmp_path, monkeypatch, module_name):
+    """Each harness's update_bench_md must replace ONLY its marked
     block, preserve everything outside it (including the hand-written
     analysis after the end marker), and insert before the reference
     baseline on first write."""
@@ -1038,7 +1043,7 @@ def test_bench_md_marker_block_update(tmp_path, monkeypatch):
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "scripts"))
-    mod = importlib.import_module("submit_scaling_run")
+    mod = importlib.import_module(module_name)
     monkeypatch.setattr(mod, "REPO", str(tmp_path))
 
     bench = tmp_path / "BENCH.md"
