@@ -200,6 +200,27 @@ def main(argv=None, spark=None):
                              "next increment then runs against the updated "
                              "corpus; old versions stay time-travelable)")
 
+    takedown = sub.add_parser(
+        "takedown", help="delete documents from a deduped corpus and repair "
+                         "only the affected clusters (bridge removals split; "
+                         "labels re-derive from survivors)")
+    takedown.add_argument("--base-checkpoint-dir", required=True,
+                          help="checkpoint dir of a prior `dedup "
+                               "--checkpoint-dir` run")
+    takedown.add_argument("--base-run-id", default="run-0")
+    takedown.add_argument("--remove", required=True,
+                          help="text file/dir of URI-Ms to delete (one per "
+                               "line — the filter subcommand's output "
+                               "format)")
+    takedown.add_argument("-o", "--output", required=True,
+                          help="updated (urim, component) parquet")
+    takedown.add_argument("--promote", action="store_true",
+                          help="commit purged docs/bands and repaired "
+                               "clusters back to the base checkpoint as new "
+                               "snapshot versions (the actual data "
+                               "deletion; old versions remain until "
+                               "expire_snapshots)")
+
     metrics = sub.add_parser(
         "metrics", help="per-stage lineage/metrics from a checkpoint dir")
     metrics.add_argument("--checkpoint-dir", required=True)
@@ -322,6 +343,59 @@ def main(argv=None, spark=None):
         if args.promote:
             base.write(base_docs.unionByName(result["docs"]), "docs")
             base.write(base_bands.unionByName(result["bands"]), "bands")
+            base.write(merged, "clusters")
+
+    elif args.command == "takedown":
+        from pyspark.sql import functions as F
+
+        from .operators.incremental import incremental_remove
+
+        base = CheckpointStore(spark, args.base_checkpoint_dir,
+                               args.base_run_id)
+        for required in ("docs", "bands", "verified_edges", "clusters"):
+            if not base.is_committed(required):
+                raise SystemExit(
+                    f"base checkpoint has no committed {required!r} stage — "
+                    f"run `dedup --checkpoint-dir` over the corpus first")
+        removed_urims = _read_consider(spark, args.remove)
+        removed_nids = removed_urims.select(
+            F.xxhash64("urim").alias("id")).distinct()
+        clusters = base.read("clusters")
+        assignments = clusters.select(
+            F.xxhash64("urim").alias("id"), "component")
+        updated = incremental_remove(
+            assignments, base.read("verified_edges"), removed_nids)
+        merged = (
+            updated.join(
+                clusters.select(F.xxhash64("urim").alias("id"), "urim"),
+                "id")
+            .select("urim", "component")
+        )
+        merged.write.mode("overwrite").parquet(args.output)
+        if args.promote:
+            # the actual deletion: purge the document payloads and
+            # signatures, not just the labels
+            purged_docs = base.read("docs").join(
+                F.broadcast(removed_urims), "urim", "left_anti")
+            purged_bands = base.read("bands").join(
+                F.broadcast(removed_nids.withColumnRenamed("id", "nid")),
+                F.col("id") == F.col("nid"), "left_anti")
+            # dead edges MUST go too: an edge with one deleted endpoint
+            # would, in a later takedown's cluster repair, reconnect
+            # survivors through a ghost node (incremental_remove assumes
+            # the edges table references only live documents)
+            purged_edges = (
+                base.read("verified_edges")
+                .join(F.broadcast(removed_nids
+                                  .withColumnRenamed("id", "id_a")),
+                      "id_a", "left_anti")
+                .join(F.broadcast(removed_nids
+                                  .withColumnRenamed("id", "id_b")),
+                      "id_b", "left_anti")
+            )
+            base.write(purged_docs, "docs")
+            base.write(purged_bands, "bands")
+            base.write(purged_edges, "verified_edges")
             base.write(merged, "clusters")
 
     elif args.command == "stats":

@@ -126,6 +126,32 @@ def incremental_candidate_pairs(
     )
 
 
+def incremental_dropped_bucket_stats(
+    base_bands: DataFrame,
+    new_bands: DataFrame,
+    max_bucket_size: int = 64,
+    broadcast_new_keys: bool = True,
+) -> DataFrame:
+    """Observability for the delta path's hot-bucket cap (symmetric with
+    lsh.py::dropped_bucket_stats): how many delta-touched buckets — counted
+    over base ∪ new membership, exactly as the pairing gate counts — were
+    excluded, and how many member rows they held."""
+    new_keys = new_bands.select("band", "band_hash").distinct()
+    if broadcast_new_keys:
+        new_keys = F.broadcast(new_keys)
+    pruned_base = base_bands.join(new_keys, ["band", "band_hash"], "left_semi")
+    rows = pruned_base.select("id", "band", "band_hash").unionByName(
+        new_bands.select("id", "band", "band_hash"))
+    return (
+        rows.groupBy("band", "band_hash").count()
+        .filter(F.col("count") > max_bucket_size)
+        .agg(
+            F.count("*").alias("dropped_buckets"),
+            F.coalesce(F.sum("count"), F.lit(0)).alias("dropped_rows"),
+        )
+    )
+
+
 def incremental_simhash_pairs(
     base_chunks: DataFrame,
     new_chunks: DataFrame,
@@ -231,6 +257,75 @@ def incremental_components(
         )
     )
     return updated_base.unionByName(new_assign)
+
+
+def incremental_remove(
+    assignments: DataFrame,
+    edges: DataFrame,
+    removed_ids: DataFrame,
+    broadcast_members: bool = True,
+    cc_kwargs: dict | None = None,
+) -> DataFrame:
+    """Takedown: delete documents from a deduped corpus and repair the
+    affected clusters — without recomputing anything outside them.
+
+    - ``assignments``: (id, component) — the full corpus labeling.
+    - ``edges``: (id_a, id_b) — the checkpointed verified_edges table (the
+      evidence the clusters were built from; required because removing a
+      BRIDGE document must split its cluster, which labels alone can't
+      express).
+    - ``removed_ids``: (id) — the documents to take down (assumed small:
+      a takedown batch, not a re-crawl).
+
+    Returns the updated (id, component) over corpus ∖ removed — identical
+    to a from-scratch rerun over the surviving documents and their edges
+    (re-labeled min member id; severed members become singletons or
+    smaller clusters as connectivity dictates).
+
+    Scale shape: removed → touched components (broadcast join); touched →
+    affected members (broadcast semi-join on component over the corpus
+    table — map-only); affected edges found by ONE semi-join on id_a only
+    (both endpoints of a verified edge share a component, so testing one
+    endpoint is exhaustive); CC re-runs on the affected subgraph, which is
+    O(touched cluster sizes); everything else passes through untouched.
+    ``broadcast_members=False`` switches the member/edge prunes to shuffle
+    semi-joins for pathological mega-cluster takedowns.
+
+    Invariant required of ``edges``: endpoints reference LIVE documents
+    only — after a takedown, edges touching the deleted ids must be purged
+    from the stored table (the CLI's ``takedown --promote`` does), or a
+    later repair could reconnect survivors through a ghost node."""
+    def maybe_broadcast(df):
+        return F.broadcast(df) if broadcast_members else df
+
+    removed = removed_ids.select("id").distinct()
+    touched = (
+        assignments.join(F.broadcast(removed), "id", "left_semi")
+        .select("component").distinct()
+    )
+    members = assignments.join(F.broadcast(touched), "component", "left_semi")
+
+    surviving_members = members.join(F.broadcast(removed), "id", "left_anti")
+    member_ids = members.select(F.col("id").alias("id_a")).distinct()
+    affected_edges = (
+        edges.join(maybe_broadcast(member_ids), "id_a", "left_semi")
+        .join(F.broadcast(removed.select(F.col("id").alias("id_a"))),
+              "id_a", "left_anti")
+        .join(F.broadcast(removed.select(F.col("id").alias("id_b"))),
+              "id_b", "left_anti")
+    )
+    relabeled = connected_components(
+        affected_edges.select(F.col("id_a").alias("src"),
+                              F.col("id_b").alias("dst")),
+        **(cc_kwargs or {}))
+    repaired = (
+        surviving_members.select("id")
+        .join(maybe_broadcast(relabeled), "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+    untouched = assignments.join(F.broadcast(touched), "component",
+                                 "left_anti")
+    return untouched.unionByName(repaired)
 
 
 def incremental_dedup_update(

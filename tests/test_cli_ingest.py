@@ -62,6 +62,63 @@ def test_cli_ingest_end_to_end(spark, tmp_path):
     assert got2 == want2
 
 
+def test_cli_takedown_end_to_end(spark, tmp_path):
+    """Two chained takedowns with --promote: each equals a from-scratch
+    dedup over the surviving pages (cap never crossed at this SF), and the
+    promoted state (docs/bands/edges purged) chains correctly."""
+    pages = pages_from_documents(spark, SF_DIR)
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    ck = str(tmp_path / "ck")
+    main(["dedup", "-i", f"pages:{src}", "-o", str(tmp_path / "c0"),
+          "--checkpoint-dir", ck], spark=spark)
+    store = CheckpointStore(spark, ck)
+
+    clusters0 = spark.read.parquet(str(tmp_path / "c0"))
+    all_urims = sorted(r.urim for r in clusters0.select("urim").collect())
+    batch1, batch2 = all_urims[::7], all_urims[3::11]
+    batch2 = [u for u in batch2 if u not in batch1]
+
+    rm1 = tmp_path / "rm1.txt"
+    rm1.write_text("\n".join(batch1) + "\n")
+    out1 = str(tmp_path / "t1")
+    main(["takedown", "--base-checkpoint-dir", ck, "--remove", str(rm1),
+          "-o", out1, "--promote"], spark=spark)
+
+    got1 = _clusters(spark.read.parquet(out1))
+    from off_topic_memento_toolkit_spark.operators.timeline import (
+        with_memento_identity,
+    )
+    pages_idd = with_memento_identity(pages)
+    keep1 = pages_idd.filter(~pages_idd.urim.isin(batch1)) \
+        .drop("urim", "urit")
+    want1 = _clusters(dedup_pipeline(keep1))
+    assert got1 == want1
+    assert set(got1).isdisjoint(batch1) and len(got1) > 0
+
+    # promoted state is purged: v2 everywhere, no removed urim/nid remains
+    assert store.versions("clusters") == [1, 2]
+    assert store.versions("verified_edges") == [1, 2]
+    removed_nids = {r.nid for r in pages_idd.filter(
+        pages_idd.urim.isin(batch1)).select(
+        F.xxhash64("urim").alias("nid")).collect()}
+    edges2 = store.read("verified_edges")
+    assert edges2.filter(edges2.id_a.isin(list(removed_nids)) |
+                         edges2.id_b.isin(list(removed_nids))).count() == 0
+
+    # second takedown chains against the promoted state
+    rm2 = tmp_path / "rm2.txt"
+    rm2.write_text("\n".join(batch2) + "\n")
+    out2 = str(tmp_path / "t2")
+    main(["takedown", "--base-checkpoint-dir", ck, "--remove", str(rm2),
+          "-o", out2], spark=spark)
+    got2 = _clusters(spark.read.parquet(out2))
+    keep2 = pages_idd.filter(~pages_idd.urim.isin(batch1 + batch2)) \
+        .drop("urim", "urit")
+    want2 = _clusters(dedup_pipeline(keep2))
+    assert got2 == want2
+
+
 def test_cli_ingest_requires_base_stages(spark, tmp_path):
     import pytest
 

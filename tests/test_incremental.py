@@ -86,6 +86,25 @@ def test_incremental_pairs_cap_counts_base_plus_new(spark):
     assert got == {(10, 12), (11, 12)}
 
 
+def test_incremental_dropped_bucket_stats(spark):
+    """The cap's exclusions are observable, counted over base ∪ new
+    membership, and only for delta-touched buckets."""
+    from off_topic_memento_toolkit_spark.operators.incremental import (
+        incremental_dropped_bucket_stats,
+    )
+
+    base = _band_rows(spark, [
+        (1, 0, 100), (2, 0, 100), (3, 0, 100),      # +2 new = 5 > 4
+        (10, 0, 200), (11, 0, 200),                 # +1 new = 3 ≤ 4
+        (20, 0, 300), (21, 0, 300), (22, 0, 300),
+        (23, 0, 300), (24, 0, 300),                 # over cap but ALL-BASE
+    ])
+    new = _band_rows(spark, [(4, 0, 100), (5, 0, 100), (12, 0, 200)])
+    row = incremental_dropped_bucket_stats(base, new, max_bucket_size=4) \
+        .first()
+    assert row.dropped_buckets == 1 and row.dropped_rows == 5
+
+
 def test_incremental_pairs_all_base_bucket_pruned(spark):
     """Buckets without a delta member never reach the shuffle: the plan
     contains the broadcast semi-join prune."""
@@ -178,6 +197,81 @@ def test_incremental_components_empty_delta_edges(spark):
     delta = spark.createDataFrame([(9,)], "id long")
     got = _cc_dict(incremental_components(prior, empty_edges, delta))
     assert got == {1: 1, 2: 1, 9: 9}
+
+
+# ----------------------------------------------------------------- takedown
+
+def _attach(spark, nodes, edges):
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edges_df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long") \
+        if edges else spark.createDataFrame([], "src long, dst long")
+    return attach_components(nodes_df, edges_df, id_col="id")
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+def test_incremental_remove_equals_full_recompute(spark, seed):
+    from off_topic_memento_toolkit_spark.operators.incremental import (
+        incremental_remove,
+    )
+
+    rng = random.Random(seed)
+    nodes = list(range(80))
+    raw = {(min(a, b), max(a, b))
+           for a, b in ((rng.choice(nodes), rng.choice(nodes))
+                        for _ in range(70)) if a != b}
+    edges = sorted(raw)
+    removed = sorted(rng.sample(nodes, 12))
+
+    assignments = _attach(spark, nodes, edges)
+    edges_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    removed_df = spark.createDataFrame([(n,) for n in removed], "id long")
+    got = _cc_dict(incremental_remove(assignments, edges_df, removed_df))
+
+    survivors = [n for n in nodes if n not in removed]
+    surviving_edges = [(a, b) for a, b in edges
+                       if a not in removed and b not in removed]
+    want = _cc_dict(_attach(spark, survivors, surviving_edges))
+    assert got == want
+    assert set(got) == set(survivors)
+
+
+def test_incremental_remove_bridge_splits_cluster(spark):
+    from off_topic_memento_toolkit_spark.operators.incremental import (
+        incremental_remove,
+    )
+
+    # path 1-2-3: removing the bridge (2) must SPLIT {1,2,3} into {1},{3}
+    assignments = _attach(spark, [1, 2, 3, 9], [(1, 2), (2, 3)])
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    removed = spark.createDataFrame([(2,)], "id long")
+    got = _cc_dict(incremental_remove(assignments, edges, removed))
+    assert got == {1: 1, 3: 3, 9: 9}
+
+
+def test_incremental_remove_min_label_relabels(spark):
+    from off_topic_memento_toolkit_spark.operators.incremental import (
+        incremental_remove,
+    )
+
+    # triangle {1,2,3} labeled 1; removing 1 keeps {2,3} connected → label 2
+    assignments = _attach(spark, [1, 2, 3], [(1, 2), (2, 3), (1, 3)])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                                  "id_a long, id_b long")
+    removed = spark.createDataFrame([(1,)], "id long")
+    got = _cc_dict(incremental_remove(assignments, edges, removed))
+    assert got == {2: 2, 3: 2}
+
+
+def test_incremental_remove_whole_cluster_and_unknown_id(spark):
+    from off_topic_memento_toolkit_spark.operators.incremental import (
+        incremental_remove,
+    )
+
+    assignments = _attach(spark, [1, 2, 7], [(1, 2)])
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    removed = spark.createDataFrame([(1,), (2,), (999,)], "id long")
+    got = _cc_dict(incremental_remove(assignments, edges, removed))
+    assert got == {7: 7}
 
 
 # --------------------------------------------------------------- end-to-end
