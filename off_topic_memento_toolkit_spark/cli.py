@@ -320,7 +320,12 @@ def main(argv=None, spark=None):
         new_pages, _ = _read_pages(spark, args.input)
         base = CheckpointStore(spark, args.base_checkpoint_dir,
                                args.base_run_id)
-        for required in ("docs", "bands", "clusters"):
+        required_stages = ["docs", "bands", "clusters"]
+        if args.promote:
+            # the promoted state must stay takedown-ready: the increment's
+            # verified edges are appended into the base evidence table
+            required_stages.append("verified_edges")
+        for required in required_stages:
             if not base.is_committed(required):
                 raise SystemExit(
                     f"base checkpoint has no committed {required!r} stage — "
@@ -343,6 +348,14 @@ def main(argv=None, spark=None):
         if args.promote:
             base.write(base_docs.unionByName(result["docs"]), "docs")
             base.write(base_bands.unionByName(result["bands"]), "bands")
+            # evidence table too — a later `takedown` repairs clusters from
+            # verified_edges, and the delta's pairs must be in it or a
+            # takedown inside the merged clusters would silently drop the
+            # increment's connectivity
+            base.write(
+                base.read("verified_edges").select("id_a", "id_b")
+                .unionByName(result["verified"].select("id_a", "id_b")),
+                "verified_edges")
             base.write(merged, "clusters")
 
     elif args.command == "takedown":

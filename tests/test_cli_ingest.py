@@ -119,6 +119,46 @@ def test_cli_takedown_end_to_end(spark, tmp_path):
     assert got2 == want2
 
 
+def test_cli_ingest_then_takedown_compose(spark, tmp_path):
+    """dedup → ingest --promote → takedown: the takedown must see the
+    increment's verified edges (promoted into the evidence table) or the
+    merged clusters would repair with missing connectivity."""
+    pages = pages_from_documents(spark, SF_DIR)
+    hour = F.unix_timestamp("warc_ts") / 3600
+    base_pages = pages.filter(hour % 5 != 0)
+    inc_pages = pages.filter(hour % 5 == 0)
+    base_src, inc_src = str(tmp_path / "b"), str(tmp_path / "i")
+    base_pages.write.parquet(base_src)
+    inc_pages.write.parquet(inc_src)
+
+    ck = str(tmp_path / "ck")
+    main(["dedup", "-i", f"pages:{base_src}", "-o", str(tmp_path / "c0"),
+          "--checkpoint-dir", ck], spark=spark)
+    main(["ingest", "-i", f"pages:{inc_src}", "--base-checkpoint-dir", ck,
+          "-o", str(tmp_path / "m"), "--promote"], spark=spark)
+
+    store = CheckpointStore(spark, ck)
+    assert store.versions("verified_edges") == [1, 2]
+
+    merged = _clusters(spark.read.parquet(str(tmp_path / "m")))
+    removed = sorted(merged)[::6]
+    rm = tmp_path / "rm.txt"
+    rm.write_text("\n".join(removed) + "\n")
+    out = str(tmp_path / "t")
+    main(["takedown", "--base-checkpoint-dir", ck, "--remove", str(rm),
+          "-o", out], spark=spark)
+    got = _clusters(spark.read.parquet(out))
+
+    from off_topic_memento_toolkit_spark.operators.timeline import (
+        with_memento_identity,
+    )
+    pages_idd = with_memento_identity(pages)
+    keep = pages_idd.filter(~pages_idd.urim.isin(removed)) \
+        .drop("urim", "urit")
+    want = _clusters(dedup_pipeline(keep))
+    assert got == want and len(got) > 0
+
+
 def test_cli_ingest_requires_base_stages(spark, tmp_path):
     import pytest
 
