@@ -308,6 +308,68 @@ SELECT ids.id AS id, coalesce(c.component, ids.id) AS component
 FROM ids LEFT JOIN comp c ON ids.id = c.src"""
 
 
+# ---------------------------------------------------------- takedown_repair
+
+def q_takedown_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown cluster repair (operators/incremental.py::incremental_remove):
+    the corpus is deduped batch-style, every 6th doc (by urim order) is
+    deleted, and only the affected clusters are repaired.  Oracle:
+    recursive-CTE connected components over (surviving nodes, surviving
+    edges) — the delta-sized repair must equal a from-scratch closure over
+    the survivors."""
+    from .operators.components import attach_components
+    from .operators.incremental import incremental_remove
+    from .operators.lsh import candidate_pairs_from_buckets, minhash_band_table
+    from .operators.timeline import prepare_pages
+    from .operators.verify import verified_pairs_jaccard
+
+    docs = prepare_pages(_pages(spark, sf_dir), need_raw_simhash=False,
+                         need_tf_simhash=False).select(
+        F.xxhash64("urim").alias("nid"), "urim", "tokens")
+    bands_t = minhash_band_table(docs, id_col="nid", tokens_col="tokens")
+    verified = verified_pairs_jaccard(
+        candidate_pairs_from_buckets(bands_t), docs,
+        id_col="nid", tokens_col="tokens", min_jaccard=0.8,
+    ).select("id_a", "id_b")
+    assignments = attach_components(
+        docs.select("nid"),
+        verified.select(F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst")),
+        id_col="nid",
+    ).select(F.col("nid").alias("id"), "component")
+
+    # deterministic ~1/6 of docs, selected distributed (no global window);
+    # the oracle reads the materialized td_removed — the predicate itself
+    # need not be SQL-replicable
+    removed = docs.filter(F.pmod(F.xxhash64("urim", F.lit(7)), F.lit(6)) == 0) \
+        .select(F.col("nid").alias("id"))
+    assignments = _materialize(assignments, "td_assignments")
+    verified = _materialize(verified, "td_edges")
+    removed = _materialize(removed, "td_removed")
+    return incremental_remove(assignments, verified, removed)
+
+
+SQL_TAKEDOWN = f"""
+WITH RECURSIVE
+a AS (SELECT id, component FROM {_mat('td_assignments')}),
+rm AS (SELECT id FROM {_mat('td_removed')}),
+survivors AS (SELECT id FROM a WHERE id NOT IN (SELECT id FROM rm)),
+e AS (SELECT id_a, id_b FROM {_mat('td_edges')}
+      WHERE id_a <> id_b
+        AND id_a NOT IN (SELECT id FROM rm)
+        AND id_b NOT IN (SELECT id FROM rm)),
+sym AS (SELECT id_a AS src, id_b AS dst FROM e
+        UNION SELECT id_b, id_a FROM e),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (SELECT src, least(min(dst), src) AS component FROM reach GROUP BY src)
+SELECT s.id AS id, coalesce(c.component, s.id) AS component
+FROM survivors s LEFT JOIN comp c ON s.id = c.src"""
+
+
 # --------------------------------------------------- simhash_hamming_pairs
 
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,6 +1288,7 @@ def mat_queries() -> dict:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "incremental_lsh_pairs": q_incremental_lsh_pairs,
         "incremental_dedup_merge": q_incremental_dedup_merge,
+        "takedown_repair": q_takedown_repair,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1249,6 +1312,7 @@ def mat_oracle_sql() -> dict:
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
         "incremental_lsh_pairs": SQL_INCREMENTAL_PAIRS,
         "incremental_dedup_merge": SQL_INCREMENTAL_MERGE,
+        "takedown_repair": SQL_TAKEDOWN,
         "simhash_hamming_pairs": SQL_SIMHASH_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
