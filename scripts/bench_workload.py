@@ -19,11 +19,12 @@ MEASURES_10 = ("bytecount", "wordcount", "jaccard", "sorensen",
 MEASURES_WARM = ("wordcount", "cosine")
 
 
-def build_pages(spark, sf_dir: str, replicate: int):
+def build_pages(spark, sf_dir: str, replicate: int, rep_start: int = 0):
     """``replicate`` perturbed copies of the sf documents table as pages —
     distinct urls AND distinct content (exact replicas would make every
     page a clique member and the dedup stage quadratic in the factor);
-    64 input partitions, persisted."""
+    64 input partitions, persisted.  ``rep_start`` offsets the replica ids
+    (disjoint url/content space for a separate delta batch)."""
     def one(r):
         docs = spark.read.parquet(sf_dir + "/documents.parquet")
         if r > 0:
@@ -43,8 +44,8 @@ def build_pages(spark, sf_dir: str, replicate: int):
             F.col("lang"),
         )
 
-    pages = one(0)
-    for r in range(1, replicate):
+    pages = one(rep_start)
+    for r in range(rep_start + 1, rep_start + replicate):
         pages = pages.unionByName(one(r))
     return pages.repartition(64).persist()
 

@@ -1,0 +1,202 @@
+"""Increment-vs-recompute benchmark: the evidence that `ingest` cost scales
+with the DELTA, not the corpus.
+
+Two cells, each a fresh process (fresh JVM + Python pool), same corpus:
+
+- **full**: batch near-dup clustering over base ∪ delta (signature UDF over
+  every doc, all-bucket candidate generation, verify, CC) — what a daily
+  pipeline without the incremental path must pay;
+- **incremental**: the base state (docs, bands, prior assignments) is
+  prepared and materialized UNTIMED — it is the checkpointed corpus state
+  an ingest reads, paid once at corpus build — then the timed region is
+  exactly what `ingest` runs: delta signatures, bucket-pruned candidates,
+  verify, contraction-CC merge.
+
+At 10^12 docs with a 10^9-doc daily increment the full path re-hashes
+1000x the increment; this measures the same asymmetry at sandbox scale.
+Writes an `increment-bench` marker block into BENCH.md.
+
+Usage:
+    python scripts/increment_bench.py [--sf-dir DIR] [--base-rep 30]
+                                      [--delta-rep 2] [--cpus 32]
+                                      [--best-of N]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+BEGIN = "<!-- increment-bench:begin -->"
+END = "<!-- increment-bench:end -->"
+
+_WORKER = r"""
+import json, sys, time, os
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo!r} + "/scripts")
+from pyspark.sql import functions as F
+from off_topic_memento_toolkit_spark.session import get_spark
+from bench_workload import build_pages, noop_write
+
+mode = {mode!r}
+spark = get_spark(f"increment-bench-{{mode}}", master="local[{cpus}]",
+                  shuffle_partitions=128)
+spark.sparkContext.setLogLevel("ERROR")
+
+from off_topic_memento_toolkit_spark.operators.components import (
+    attach_components)
+from off_topic_memento_toolkit_spark.operators.incremental import (
+    incremental_dedup_update)
+from off_topic_memento_toolkit_spark.operators.lsh import (
+    candidate_pairs_from_buckets, minhash_band_table)
+from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
+from off_topic_memento_toolkit_spark.operators.verify import (
+    verified_pairs_jaccard)
+
+base_pages = build_pages(spark, {sf_dir!r}, {base_rep})
+delta_pages = build_pages(spark, {sf_dir!r}, {delta_rep}, rep_start={base_rep})
+n_base = base_pages.count()
+n_delta = delta_pages.count()
+
+
+def docs_of(pages):
+    return prepare_pages(pages, need_tf_simhash=False).select(
+        F.xxhash64("urim").alias("nid"), "urim", "text", "tokens",
+        "raw_simhash")
+
+
+def batch_cluster(docs):
+    bands = minhash_band_table(docs, id_col="nid", tokens_col="tokens")
+    verified = verified_pairs_jaccard(
+        candidate_pairs_from_buckets(bands), docs,
+        id_col="nid", tokens_col="tokens", min_jaccard=0.8
+    ).select("id_a", "id_b")
+    return attach_components(
+        docs.select("nid"),
+        verified.select(F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst")),
+        id_col="nid")
+
+
+# warmup: JVM + codegen + Python worker pool on a small slice
+noop_write(batch_cluster(docs_of(base_pages.limit(256)).persist()))
+
+if mode == "full":
+    all_pages = base_pages.unionByName(delta_pages)
+    start = time.time()
+    noop_write(batch_cluster(docs_of(all_pages)))
+    elapsed = time.time() - start
+else:
+    # UNTIMED: the corpus state an ingest reads back from its checkpoint —
+    # persisted AND materialized before the clock starts
+    base_docs = docs_of(base_pages).persist()
+    base_bands = minhash_band_table(
+        base_docs, id_col="nid", tokens_col="tokens").persist()
+    prior = batch_cluster(base_docs).select(
+        F.col("nid"), "component").persist()
+    base_bands.count(); prior.count()
+
+    start = time.time()
+    result = incremental_dedup_update(
+        base_docs, base_bands, prior, delta_pages,
+        use_simhash_channel=False)
+    noop_write(result["assignments"])
+    elapsed = time.time() - start
+
+print("RESULT " + json.dumps({{"mode": mode, "n_base": n_base,
+                               "n_delta": n_delta,
+                               "seconds": round(elapsed, 2)}}))
+spark.stop()
+"""
+
+
+def run_cell(mode, cpus, sf_dir, base_rep, delta_rep):
+    code = _WORKER.format(repo=REPO, mode=mode, cpus=cpus, sf_dir=sf_dir,
+                          base_rep=base_rep, delta_rep=delta_rep)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3000)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT ({mode}):\n{out.stdout[-2000:]}\n"
+                       f"{out.stderr[-2000:]}")
+
+
+def update_bench_md(block: str):
+    path = os.path.join(REPO, "BENCH.md")
+    with open(path) as fh:
+        text = fh.read()
+    section = f"{BEGIN}\n{block}\n{END}"
+    if BEGIN in text:
+        pre = text[: text.index(BEGIN)]
+        post = text[text.index(END) + len(END):]
+        text = pre + section + post
+    else:
+        anchor = "Reference baseline:"
+        idx = text.index(anchor) if anchor in text else len(text)
+        text = text[:idx] + section + "\n\n" + text[idx:]
+    with open(path, "w") as fh:
+        fh.write(text)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    parser.add_argument("--cpus", type=int, default=32)
+    parser.add_argument("--base-rep", type=int, default=30)
+    parser.add_argument("--delta-rep", type=int, default=2)
+    parser.add_argument("--best-of", type=int, default=3)
+    args = parser.parse_args()
+
+    best = {}
+    meta = None
+    for mode in ("full", "incremental"):
+        for _ in range(args.best_of):
+            r = run_cell(mode, args.cpus, args.sf_dir, args.base_rep,
+                         args.delta_rep)
+            meta = r
+            best[mode] = min(best.get(mode, float("inf")), r["seconds"])
+            print(f"  {mode}: {r['seconds']}s")
+
+    speedup = round(best["full"] / best["incremental"], 2)
+    report = {"n_base": meta["n_base"], "n_delta": meta["n_delta"],
+              "full_s": best["full"], "incremental_s": best["incremental"],
+              "speedup": speedup}
+    print(json.dumps(report, indent=2))
+
+    block = f"""
+## Increment vs recompute: folding a small batch into a deduped corpus
+
+Corpus {meta['n_base']} pages, increment {meta['n_delta']} pages
+(~{round(100 * meta['n_delta'] / meta['n_base'])}% of corpus), local[{args.cpus}],
+fresh process per cell, best of {args.best_of}. "Full" re-clusters base ∪
+delta from scratch; "incremental" is exactly what CLI `ingest` runs —
+delta signatures, bucket-pruned candidates (broadcast semi-join on the
+delta's bucket keys), verify, contraction-CC merge — against the
+checkpointed base state (prepared untimed, as a real ingest reads it back
+from the store).
+
+| path | seconds |
+|---|---|
+| full recompute (base ∪ delta) | {best['full']} |
+| incremental ingest (delta only) | **{best['incremental']}** |
+
+**{speedup}x** faster at a ~{round(100 * meta['n_delta'] / meta['n_base'])}% increment.
+The gap is the re-hashed corpus: full pays the signature UDF + all-bucket
+shuffle over every document, incremental touches the corpus only through
+the pruned band table and one broadcast relabel join — at a 10^12-doc
+corpus with 10^9-doc daily increments the same asymmetry is ~1000x of
+signature work avoided.
+"""
+    update_bench_md(block.strip("\n"))
+    print("updated BENCH.md (increment-bench block)")
+
+
+if __name__ == "__main__":
+    main()
