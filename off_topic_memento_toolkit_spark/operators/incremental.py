@@ -122,6 +122,8 @@ def incremental_candidate_pairs(
             F.least("p.u.id", "p.v.id").alias("id_a"),
             F.greatest("p.u.id", "p.v.id").alias("id_b"),
         )
+        # a re-ingested id present on BOTH sides would pair with itself
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 
@@ -178,6 +180,7 @@ def incremental_simhash_pairs(
             F.least("p.u.id", "p.v.id").alias("id_a"),
             F.greatest("p.u.id", "p.v.id").alias("id_b"),
         )
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 
@@ -247,13 +250,19 @@ def incremental_components(
             .alias("component"),
         )
     )
+    # a re-ingested id (already in the prior assignment) must not be listed
+    # twice: the prior branch carries it.  The known-set is found with a
+    # broadcast semi-join (map-only pass over the corpus table, delta-sized
+    # result), then broadcast back into the anti-join on the delta side.
+    known = prior_by_id.select("id").join(
+        F.broadcast(new_ids.select("id").distinct()), "id", "left_semi")
     new_assign = (
-        new_ids.select("id")
-        .join(F.broadcast(relabel),
-              new_ids["id"] == relabel["_node"], "left")
+        new_ids.select("id").distinct()
+        .join(F.broadcast(known), "id", "left_anti")
+        .join(F.broadcast(relabel), F.col("id") == relabel["_node"], "left")
         .select(
-            new_ids["id"],
-            F.coalesce("_merged", new_ids["id"]).alias("component"),
+            F.col("id"),
+            F.coalesce("_merged", F.col("id")).alias("component"),
         )
     )
     return updated_base.unionByName(new_assign)

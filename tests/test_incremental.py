@@ -191,6 +191,24 @@ def test_incremental_components_monotone(spark):
     assert got[5] == 5 and got[201] == 201  # untouched + edge-less singleton
 
 
+def test_incremental_components_reingested_id_not_duplicated(spark):
+    """A delta id already present in the prior assignment must appear
+    exactly once (the prior branch carries it), and self-pairs from a
+    both-sides id are dropped in candidate generation."""
+    prior = spark.createDataFrame([(1, 1), (2, 1)], "id long, component long")
+    new_edges = spark.createDataFrame([(2, 9)], "id_a long, id_b long")
+    delta = spark.createDataFrame([(2,), (9,)], "id long")  # 2 re-ingested
+    rows = incremental_components(prior, new_edges, delta).collect()
+    assert len(rows) == 3  # 1, 2, 9 — no duplicate row for 2
+    got = {r.id: r.component for r in rows}
+    assert got == {1: 1, 2: 1, 9: 1}
+
+    base = _band_rows(spark, [(5, 0, 1), (6, 0, 1)])
+    new = _band_rows(spark, [(5, 0, 1)])  # 5 on both sides
+    pairs = _pairs_set(incremental_candidate_pairs(base, new))
+    assert pairs == {(5, 6)}  # no (5, 5) self-pair
+
+
 def test_incremental_components_empty_delta_edges(spark):
     prior = spark.createDataFrame([(1, 1), (2, 1)], "id long, component long")
     empty_edges = spark.createDataFrame([], "id_a long, id_b long")
