@@ -369,8 +369,14 @@ def incremental_dedup_update(
     from ..operators.timeline import prepare_pages
 
     def stage(name, build):
+        # with a store, every stage is a committed table (disk-backed reads
+        # downstream); without one, PERSIST each stage result — the merge
+        # traverses the verified edges 3-4 times (endpoint broadcast,
+        # contraction join, relabel) and an uncached lineage would re-run
+        # the whole delta extract/signature/verify pipeline per traversal
+        # (measured 3x slower than a full batch recompute before this pin)
         if store is None:
-            return build()
+            return build().persist()
         return store.run_stage(name, build)
 
     def build_docs():
