@@ -421,8 +421,22 @@ def incremental_dedup_update(
     def build_verified():
         from ..operators.verify import verified_pairs_jaccard
 
-        all_docs = base_docs.select("nid", "tokens").unionByName(
-            new_docs.select("nid", "tokens"))
+        # prune the docs side to the pair endpoints BEFORE the payload
+        # joins: endpoints are delta-sized (≤ 2·|candidates|), so a
+        # broadcast semi-join keeps the corpus docs scan map-only instead
+        # of shuffling every token array through the verify join
+        endpoints = (
+            candidates.select(F.col("id_a").alias("nid"))
+            .unionByName(candidates.select(F.col("id_b").alias("nid")))
+            .distinct()
+        )
+        if broadcast_new_keys:
+            endpoints = F.broadcast(endpoints)
+        all_docs = (
+            base_docs.select("nid", "tokens")
+            .unionByName(new_docs.select("nid", "tokens"))
+            .join(endpoints, "nid", "left_semi")
+        )
         return verified_pairs_jaccard(
             candidates, all_docs, id_col="nid", tokens_col="tokens",
             min_jaccard=min_jaccard,
