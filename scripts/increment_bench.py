@@ -41,7 +41,7 @@ sys.path.insert(0, {repo!r})
 sys.path.insert(0, {repo!r} + "/scripts")
 from pyspark.sql import functions as F
 from off_topic_memento_toolkit_spark.session import get_spark
-from bench_workload import build_pages, noop_write
+from bench_workload import noop_write
 
 mode = {mode!r}
 spark = get_spark(f"increment-bench-{{mode}}", master="local[{cpus}]",
@@ -58,8 +58,40 @@ from off_topic_memento_toolkit_spark.operators.timeline import prepare_pages
 from off_topic_memento_toolkit_spark.operators.verify import (
     verified_pairs_jaccard)
 
-base_pages = build_pages(spark, {sf_dir!r}, {base_rep})
-delta_pages = build_pages(spark, {sf_dir!r}, {delta_rep}, rep_start={base_rep})
+
+def build_mix(reps, rep_start):
+    # a CRAWL-SHAPED corpus: each replica salts every token with its own
+    # replica id (mostly-unique documents), EXCEPT every 10th source doc,
+    # which stays unsalted in every replica — 10 percent cross-batch near-dup
+    # pockets.  (The shared bench_workload corpus makes EVERY doc a
+    # near-twin of all other replicas — right for stressing candidate
+    # generation, but as an increment it makes the delta touch 100 percent of
+    # the corpus by construction, which no daily crawl does.)
+    out = None
+    for r in range(rep_start, rep_start + reps):
+        docs = spark.read.parquet({sf_dir!r} + "/documents.parquet")
+        salted = F.array_join(
+            F.transform(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                        lambda w: F.concat(w, F.lit(f"x{{r}}"))), " ")
+        body = F.when(F.col("doc_id") % 10 == 0,
+                      F.coalesce(F.col("text"), F.lit(""))).otherwise(salted)
+        part = docs.select(
+            F.concat(F.lit(f"http://rep{{r}}.docs.example/site"),
+                     (F.col("doc_id") % 50).cast("string")).alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 3600)
+             .alias("warc_ts"),
+            F.encode(F.concat(F.lit("<html><body><p>"), body,
+                              F.lit("</p></body></html>")), "utf-8")
+             .alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.col("lang"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.repartition(64).persist()
+
+
+base_pages = build_mix({base_rep}, 0)
+delta_pages = build_mix({delta_rep}, {base_rep})
 n_base = base_pages.count()
 n_delta = delta_pages.count()
 
@@ -175,12 +207,15 @@ def main():
 
 Corpus {meta['n_base']} pages, increment {meta['n_delta']} pages
 (~{round(100 * meta['n_delta'] / meta['n_base'])}% of corpus), local[{args.cpus}],
-fresh process per cell, best of {args.best_of}. "Full" re-clusters base ∪
-delta from scratch; "incremental" is exactly what CLI `ingest` runs —
-delta signatures, bucket-pruned candidates (broadcast semi-join on the
-delta's bucket keys), verify, contraction-CC merge — against the
-checkpointed base state (prepared untimed, as a real ingest reads it back
-from the store).
+fresh process per cell, best of {args.best_of}. Crawl-shaped data: ~90%
+of documents unique (per-batch token salt), 10% cross-batch near-dup
+pockets — an increment whose delta touches a realistic fraction of the
+corpus, not the all-pairs-similar stress corpus the core-scaling tables
+use. "Full" re-clusters base ∪ delta from scratch; "incremental" is
+exactly what CLI `ingest` runs — delta signatures, bucket-pruned
+candidates (broadcast semi-join on the delta's bucket keys), verify,
+contraction-CC merge — against the checkpointed base state (prepared
+untimed, as a real ingest reads it back from the store).
 
 | path | seconds |
 |---|---|
