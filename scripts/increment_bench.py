@@ -44,8 +44,15 @@ from off_topic_memento_toolkit_spark.session import get_spark
 from bench_workload import noop_write
 
 mode = {mode!r}
+# shuffle width follows the JOB's data: the full recompute moves the
+# corpus (128 partitions, same as every corpus-sized harness); the
+# increment moves only delta-sized intermediates, and running those
+# through corpus-width shuffles would spend the whole job scheduling
+# thousands of near-empty tasks (measured: ~45 s of fixed overhead at
+# width 128 vs seconds of actual data movement).  A real ingest is its
+# own spark-submit with delta-appropriate conf.
 spark = get_spark(f"increment-bench-{{mode}}", master="local[{cpus}]",
-                  shuffle_partitions=128)
+                  shuffle_partitions={shuffle})
 spark.sparkContext.setLogLevel("ERROR")
 
 from off_topic_memento_toolkit_spark.operators.components import (
@@ -149,7 +156,8 @@ spark.stop()
 
 def run_cell(mode, cpus, sf_dir, base_rep, delta_rep):
     code = _WORKER.format(repo=REPO, mode=mode, cpus=cpus, sf_dir=sf_dir,
-                          base_rep=base_rep, delta_rep=delta_rep)
+                          base_rep=base_rep, delta_rep=delta_rep,
+                          shuffle=128 if mode == "full" else 32)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3000)
     for line in out.stdout.splitlines():
@@ -211,11 +219,15 @@ fresh process per cell, best of {args.best_of}. Crawl-shaped data: ~90%
 of documents unique (per-batch token salt), 10% cross-batch near-dup
 pockets — an increment whose delta touches a realistic fraction of the
 corpus, not the all-pairs-similar stress corpus the core-scaling tables
-use. "Full" re-clusters base ∪ delta from scratch; "incremental" is
-exactly what CLI `ingest` runs — delta signatures, bucket-pruned
-candidates (broadcast semi-join on the delta's bucket keys), verify,
-contraction-CC merge — against the checkpointed base state (prepared
-untimed, as a real ingest reads it back from the store).
+use. "Full" re-clusters base ∪ delta from scratch at the corpus shuffle
+width (128); "incremental" is exactly what CLI `ingest` runs — delta
+signatures, bucket-pruned candidates (broadcast semi-join on the delta's
+bucket keys), verify, contraction-CC merge — against the checkpointed
+base state (prepared untimed, as a real ingest reads it back from the
+store), at a delta-sized shuffle width (32): an ingest is its own job,
+and sizing its shuffles to the corpus would spend the wall-clock
+scheduling near-empty tasks (measured +30 s of pure overhead at width
+128 with identical data).
 
 | path | seconds |
 |---|---|
