@@ -340,21 +340,37 @@ def main(argv=None, spark=None):
             base_docs, base_bands, prior, new_pages, store=inc_store,
             num_perm=args.num_perm, bands=args.bands,
             shingle_words=args.shingle_words, min_jaccard=args.min_jaccard)
+        # dropDuplicates guards the re-ingest case (a urim present in BOTH
+        # base and batch would otherwise fan the join out to duplicate
+        # output rows; the assignment itself already lists each id once)
         urims = base_docs.select("nid", "urim").unionByName(
-            result["docs"].select("nid", "urim"))
+            result["docs"].select("nid", "urim")).dropDuplicates(["nid"])
         merged = result["assignments"].join(urims, "nid") \
             .select("urim", "component")
         merged.write.mode("overwrite").parquet(args.output)
         if args.promote:
-            base.write(base_docs.unionByName(result["docs"]), "docs")
-            base.write(base_bands.unionByName(result["bands"]), "bands")
+            # same guard for the promoted state: re-ingested ids must not
+            # duplicate their docs/bands rows.  known = base ∩ batch ids,
+            # found map-only (broadcast semi over the base table, batch-
+            # sized result) and broadcast into the anti-join.
+            batch_ids = result["docs"].select("nid").distinct()
+            known_ids = base_docs.select("nid").join(
+                F.broadcast(batch_ids), "nid", "left_semi")
+            fresh_docs = result["docs"].join(
+                F.broadcast(known_ids), "nid", "left_anti")
+            fresh_bands = result["bands"].join(
+                F.broadcast(known_ids.withColumnRenamed("nid", "id")),
+                "id", "left_anti")
+            base.write(base_docs.unionByName(fresh_docs), "docs")
+            base.write(base_bands.unionByName(fresh_bands), "bands")
             # evidence table too — a later `takedown` repairs clusters from
             # verified_edges, and the delta's pairs must be in it or a
             # takedown inside the merged clusters would silently drop the
             # increment's connectivity
             base.write(
                 base.read("verified_edges").select("id_a", "id_b")
-                .unionByName(result["verified"].select("id_a", "id_b")),
+                .unionByName(result["verified"].select("id_a", "id_b"))
+                .distinct(),  # a re-ingested pair may be rediscovered
                 "verified_edges")
             base.write(merged, "clusters")
 

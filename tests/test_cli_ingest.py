@@ -119,6 +119,39 @@ def test_cli_takedown_end_to_end(spark, tmp_path):
     assert got2 == want2
 
 
+def test_cli_ingest_reingest_overlap(spark, tmp_path):
+    """A batch that overlaps the base (re-crawled pages) must not duplicate
+    rows: merged output lists each urim once, and --promote keeps
+    docs/bands free of duplicate nids."""
+    pages = pages_from_documents(spark, SF_DIR)
+    hour = F.unix_timestamp("warc_ts") / 3600
+    base_pages = pages.filter(hour % 5 != 0)
+    # the "new" batch: the delta plus a slice RE-INGESTED from the base
+    overlap = base_pages.filter(hour % 7 == 0)
+    inc_pages = pages.filter(hour % 5 == 0).unionByName(overlap)
+
+    base_src, inc_src = str(tmp_path / "b"), str(tmp_path / "i")
+    base_pages.write.parquet(base_src)
+    inc_pages.write.parquet(inc_src)
+    ck = str(tmp_path / "ck")
+    main(["dedup", "-i", f"pages:{base_src}", "-o", str(tmp_path / "c0"),
+          "--checkpoint-dir", ck], spark=spark)
+    out = str(tmp_path / "m")
+    main(["ingest", "-i", f"pages:{inc_src}", "--base-checkpoint-dir", ck,
+          "-o", out, "--promote"], spark=spark)
+
+    merged = spark.read.parquet(out)
+    assert merged.count() == merged.select("urim").distinct().count()
+    assert merged.count() == pages.count()  # every doc listed exactly once
+
+    store = CheckpointStore(spark, ck)
+    docs2 = store.read("docs")
+    assert docs2.count() == docs2.select("nid").distinct().count()
+    bands2 = store.read("bands")
+    per_doc_bands = bands2.groupBy("id").count().select("count").distinct()
+    assert [r["count"] for r in per_doc_bands.collect()] == [32]
+
+
 def test_cli_ingest_then_takedown_compose(spark, tmp_path):
     """dedup → ingest --promote → takedown: the takedown must see the
     increment's verified edges (promoted into the evidence table) or the
