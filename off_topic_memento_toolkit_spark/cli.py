@@ -98,6 +98,37 @@ def _apply_consider(spark: SparkSession, pages, consider_path):
     ).drop("urim", "urit")
 
 
+def _make_store(spark, checkpoint_dir, catalog, run_id, required_by=None):
+    """Checkpoint backend selection: ``--catalog cat[.namespace]`` → the
+    Iceberg store (same snapshot contract; requires the runtime jar on the
+    classpath), ``--checkpoint-dir`` → the parquet store, neither → None
+    (or an error when the subcommand needs a store)."""
+    if catalog and checkpoint_dir:
+        raise SystemExit("pass either --checkpoint-dir or --catalog, "
+                         "not both (and their --base-* twins likewise)")
+    if catalog:
+        from .plans.checkpoints import (
+            IcebergCheckpointStore,
+            iceberg_runtime_available,
+        )
+
+        if not iceberg_runtime_available(spark):
+            raise SystemExit(
+                "--catalog needs the Iceberg Spark runtime jar on the "
+                "classpath (spark-submit --packages "
+                "org.apache.iceberg:iceberg-spark-runtime-...)")
+        cat, _, namespace = catalog.partition(".")
+        return IcebergCheckpointStore(spark, cat, namespace or "otmt",
+                                      run_id)
+    if checkpoint_dir:
+        return CheckpointStore(spark, checkpoint_dir, run_id)
+    if required_by:
+        raise SystemExit(
+            f"{required_by} needs a checkpoint backend: pass "
+            f"--base-checkpoint-dir (parquet) or --base-catalog (Iceberg)")
+    return None
+
+
 def main(argv=None, spark=None):
     """``spark=None`` creates (and stops) its own session — the spark-submit
     path; tests pass their shared session, which is left running."""
@@ -128,6 +159,10 @@ def main(argv=None, spark=None):
                              "semi-join)")
     dedup.add_argument("-o", "--output", required=True)
     dedup.add_argument("--checkpoint-dir")
+    dedup.add_argument("--catalog",
+                       help="Iceberg catalog[.namespace] checkpoint backend "
+                            "(needs the runtime jar; same snapshot "
+                            "contract as --checkpoint-dir)")
     dedup.add_argument("--run-id", default="run-0")
     dedup.add_argument("--num-perm", type=int, default=128)
     dedup.add_argument("--bands", type=int, default=32)
@@ -180,15 +215,21 @@ def main(argv=None, spark=None):
                        "history (delta-pruned candidates + contraction CC)")
     ingest.add_argument("-i", "--input", required=True,
                         help="the new batch (pages:/warc: input)")
-    ingest.add_argument("--base-checkpoint-dir", required=True,
+    ingest.add_argument("--base-checkpoint-dir",
                         help="checkpoint dir of a prior `dedup "
                              "--checkpoint-dir` run (needs docs, bands, "
                              "clusters stages)")
+    ingest.add_argument("--base-catalog",
+                        help="Iceberg catalog[.namespace] holding the base "
+                             "state instead of --base-checkpoint-dir")
     ingest.add_argument("--base-run-id", default="run-0")
     ingest.add_argument("-o", "--output", required=True,
                         help="merged (urim, component) parquet")
     ingest.add_argument("--checkpoint-dir",
                         help="the increment's own resumable stage dir")
+    ingest.add_argument("--catalog",
+                        help="Iceberg catalog[.namespace] for the "
+                             "increment's own stages")
     ingest.add_argument("--run-id", default="inc-0")
     ingest.add_argument("--num-perm", type=int, default=128)
     ingest.add_argument("--bands", type=int, default=32)
@@ -204,9 +245,12 @@ def main(argv=None, spark=None):
         "takedown", help="delete documents from a deduped corpus and repair "
                          "only the affected clusters (bridge removals split; "
                          "labels re-derive from survivors)")
-    takedown.add_argument("--base-checkpoint-dir", required=True,
+    takedown.add_argument("--base-checkpoint-dir",
                           help="checkpoint dir of a prior `dedup "
                                "--checkpoint-dir` run")
+    takedown.add_argument("--base-catalog",
+                          help="Iceberg catalog[.namespace] holding the "
+                               "base state")
     takedown.add_argument("--base-run-id", default="run-0")
     takedown.add_argument("--remove", required=True,
                           help="text file/dir of URI-Ms to delete (one per "
@@ -303,8 +347,8 @@ def main(argv=None, spark=None):
     elif args.command == "dedup":
         pages, _ = _read_pages(spark, args.input)
         pages = _apply_consider(spark, pages, args.consider)
-        store = (CheckpointStore(spark, args.checkpoint_dir, args.run_id)
-                 if args.checkpoint_dir else None)
+        store = _make_store(spark, args.checkpoint_dir, args.catalog,
+                            args.run_id)
         clusters = dedup_pipeline(
             pages, store=store, num_perm=args.num_perm, bands=args.bands,
             shingle_words=args.shingle_words, min_jaccard=args.min_jaccard,
@@ -318,8 +362,9 @@ def main(argv=None, spark=None):
         from .operators.incremental import incremental_dedup_update
 
         new_pages, _ = _read_pages(spark, args.input)
-        base = CheckpointStore(spark, args.base_checkpoint_dir,
-                               args.base_run_id)
+        base = _make_store(spark, args.base_checkpoint_dir,
+                           args.base_catalog, args.base_run_id,
+                           required_by="ingest")
         required_stages = ["docs", "bands", "clusters"]
         if args.promote:
             # the promoted state must stay takedown-ready: the increment's
@@ -334,8 +379,8 @@ def main(argv=None, spark=None):
         base_bands = base.read("bands")
         prior = base.read("clusters").select(
             F.xxhash64("urim").alias("nid"), "component")
-        inc_store = (CheckpointStore(spark, args.checkpoint_dir, args.run_id)
-                     if args.checkpoint_dir else None)
+        inc_store = _make_store(spark, args.checkpoint_dir,
+                                getattr(args, "catalog", None), args.run_id)
         result = incremental_dedup_update(
             base_docs, base_bands, prior, new_pages, store=inc_store,
             num_perm=args.num_perm, bands=args.bands,
@@ -379,8 +424,9 @@ def main(argv=None, spark=None):
 
         from .operators.incremental import incremental_remove
 
-        base = CheckpointStore(spark, args.base_checkpoint_dir,
-                               args.base_run_id)
+        base = _make_store(spark, args.base_checkpoint_dir,
+                           args.base_catalog, args.base_run_id,
+                           required_by="takedown")
         for required in ("docs", "bands", "verified_edges", "clusters"):
             if not base.is_committed(required):
                 raise SystemExit(

@@ -192,6 +192,29 @@ def test_cli_ingest_then_takedown_compose(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_cli_store_backend_selection(spark, tmp_path):
+    """ingest/takedown demand a backend; --catalog without the Iceberg jar
+    errors (sandbox has none); dir+catalog together is rejected."""
+    import pytest
+
+    src = str(tmp_path / "p")
+    pages_from_documents(spark, SF_DIR).limit(3).write.parquet(src)
+
+    with pytest.raises(SystemExit, match="checkpoint backend"):
+        main(["ingest", "-i", f"pages:{src}",
+              "-o", str(tmp_path / "o1")], spark=spark)
+    with pytest.raises(SystemExit, match="checkpoint backend"):
+        main(["takedown", "--remove", src,
+              "-o", str(tmp_path / "o2")], spark=spark)
+    with pytest.raises(SystemExit, match="Iceberg Spark runtime"):
+        main(["ingest", "-i", f"pages:{src}", "--base-catalog", "cat.ns",
+              "-o", str(tmp_path / "o3")], spark=spark)
+    with pytest.raises(SystemExit, match="not both"):
+        main(["dedup", "-i", f"pages:{src}", "-o", str(tmp_path / "o4"),
+              "--checkpoint-dir", str(tmp_path / "ck"),
+              "--catalog", "cat"], spark=spark)
+
+
 def test_cli_ingest_requires_base_stages(spark, tmp_path):
     import pytest
 
