@@ -80,8 +80,13 @@ def _read_pages(spark: SparkSession, spec: str):
 def _read_consider(spark: SparkSession, consider_path):
     from pyspark.sql import functions as F
 
-    return spark.read.text(consider_path) \
-        .select(F.col("value").alias("urim"))
+    # strip CR (CRLF files) and surrounding whitespace, drop blank lines:
+    # a trailing \r would silently hash-mismatch every URI-M in the list
+    return (
+        spark.read.text(consider_path)
+        .select(F.trim(F.regexp_replace("value", "\r", "")).alias("urim"))
+        .filter(F.col("urim") != "")
+    )
 
 
 def _apply_consider(spark: SparkSession, pages, consider_path):
@@ -127,6 +132,73 @@ def _make_store(spark, checkpoint_dir, catalog, run_id, required_by=None):
             f"{required_by} needs a checkpoint backend: pass "
             f"--base-checkpoint-dir (parquet) or --base-catalog (Iceberg)")
     return None
+
+
+_SIG_PARAMS = ("num_perm", "bands", "shingle_words")
+
+
+def _write_params_stage(spark, store, args):
+    """Pin the signature hyperparameters into the checkpoint as a one-row
+    `params` stage (works on both backends): an ingest with mismatched
+    --num-perm/--bands/--shingle-words would compute delta band hashes in
+    a DIFFERENT space than the stored base table and silently find zero
+    base-delta duplicates."""
+    if store is None or store.is_committed("params"):
+        return
+    row = [tuple(int(getattr(args, p)) for p in _SIG_PARAMS)]
+    store.write(
+        spark.createDataFrame(row, ", ".join(f"{p} int"
+                                             for p in _SIG_PARAMS)),
+        "params")
+
+
+def _check_params_stage(store, args, command):
+    if not store.is_committed("params"):
+        print(f"warning: base checkpoint has no `params` stage (built by "
+              f"an older dedup); cannot verify that --num-perm/--bands/"
+              f"--shingle-words match the stored band table",
+              file=sys.stderr)
+        return
+    stored = store.read("params").first()
+    mismatches = [
+        f"--{p.replace('_', '-')} {getattr(args, p)} != stored {stored[p]}"
+        for p in _SIG_PARAMS if int(getattr(args, p)) != int(stored[p])
+    ]
+    if mismatches:
+        raise SystemExit(
+            f"{command}: signature parameters do not match the base "
+            f"checkpoint's band table ({'; '.join(mismatches)}) — delta "
+            f"hashes would live in a different space and find no "
+            f"base-delta duplicates; pass the stored values")
+
+
+def _check_promote_consistency(store):
+    """O(1) mid-promote crash detection: promote writes docs first and
+    clusters last, so any partial promote leaves their committed row
+    counts unequal (each individual write is atomic; the four-stage
+    sequence is not)."""
+    docs_rows = store.marker("docs").get("rows")
+    clusters_rows = store.marker("clusters").get("rows")
+    if docs_rows is not None and clusters_rows is not None \
+            and docs_rows != clusters_rows:
+        raise SystemExit(
+            f"base checkpoint is mid-promote inconsistent (docs has "
+            f"{docs_rows} rows, clusters {clusters_rows}) — a previous "
+            f"--promote crashed between stage commits; re-run the "
+            f"interrupted ingest/takedown with the SAME batch to repair "
+            f"(its re-ingest guards make the retry converge)")
+
+
+def _self_replace_safe(df, store):
+    """Iceberg createOrReplace of a table that the plan also SCANS is a
+    self-referencing RTAS whose snapshot semantics vary by runtime; cut
+    the lineage first so the write never reads the table it replaces.
+    The parquet store is immune (every write lands in a fresh v{N})."""
+    from .plans.checkpoints import IcebergCheckpointStore
+
+    if isinstance(store, IcebergCheckpointStore):
+        return df.localCheckpoint()
+    return df
 
 
 def main(argv=None, spark=None):
@@ -349,6 +421,7 @@ def main(argv=None, spark=None):
         pages = _apply_consider(spark, pages, args.consider)
         store = _make_store(spark, args.checkpoint_dir, args.catalog,
                             args.run_id)
+        _write_params_stage(spark, store, args)
         clusters = dedup_pipeline(
             pages, store=store, num_perm=args.num_perm, bands=args.bands,
             shingle_words=args.shingle_words, min_jaccard=args.min_jaccard,
@@ -375,6 +448,8 @@ def main(argv=None, spark=None):
                 raise SystemExit(
                     f"base checkpoint has no committed {required!r} stage — "
                     f"run `dedup --checkpoint-dir` over the corpus first")
+        _check_params_stage(base, args, "ingest")
+        _check_promote_consistency(base)
         base_docs = base.read("docs")
         base_bands = base.read("bands")
         prior = base.read("clusters").select(
@@ -406,8 +481,10 @@ def main(argv=None, spark=None):
             fresh_bands = result["bands"].join(
                 F.broadcast(known_ids.withColumnRenamed("nid", "id")),
                 "id", "left_anti")
-            base.write(base_docs.unionByName(fresh_docs), "docs")
-            base.write(base_bands.unionByName(fresh_bands), "bands")
+            base.write(_self_replace_safe(
+                base_docs.unionByName(fresh_docs), base), "docs")
+            base.write(_self_replace_safe(
+                base_bands.unionByName(fresh_bands), base), "bands")
             # evidence table too — a later `takedown` repairs clusters from
             # verified_edges, and the delta's pairs must be in it or a
             # takedown inside the merged clusters would silently drop the
@@ -427,17 +504,37 @@ def main(argv=None, spark=None):
         base = _make_store(spark, args.base_checkpoint_dir,
                            args.base_catalog, args.base_run_id,
                            required_by="takedown")
-        for required in ("docs", "bands", "verified_edges", "clusters"):
+        # the label repair itself reads only clusters + verified_edges;
+        # docs/bands are touched (purged) only under --promote
+        required_stages = ["verified_edges", "clusters"]
+        if args.promote:
+            required_stages += ["docs", "bands"]
+        for required in required_stages:
             if not base.is_committed(required):
                 raise SystemExit(
                     f"base checkpoint has no committed {required!r} stage — "
                     f"run `dedup --checkpoint-dir` over the corpus first")
+        if args.promote:
+            _check_promote_consistency(base)
         removed_urims = _read_consider(spark, args.remove)
         removed_nids = removed_urims.select(
             F.xxhash64("urim").alias("id")).distinct()
         clusters = base.read("clusters")
         assignments = clusters.select(
             F.xxhash64("urim").alias("id"), "component")
+        # a deletion command must not silently no-op: report the match
+        # rate, and hard-fail when NOTHING matched (stale list, wrong
+        # file, or a formatting issue the trim did not cover)
+        n_listed = removed_urims.count()
+        n_matched = assignments.join(
+            F.broadcast(removed_nids), "id", "left_semi").count()
+        if n_listed and not n_matched:
+            raise SystemExit(
+                f"takedown: 0 of {n_listed} removal entries match any "
+                f"document in the base clusters — nothing would be "
+                f"deleted; check the list against the corpus URI-Ms")
+        print(f"takedown: {n_matched} of {n_listed} removal entries "
+              f"matched", file=sys.stderr)
         updated = incremental_remove(
             assignments, base.read("verified_edges"), removed_nids)
         merged = (
@@ -468,9 +565,10 @@ def main(argv=None, spark=None):
                                   .withColumnRenamed("id", "id_b")),
                       "id_b", "left_anti")
             )
-            base.write(purged_docs, "docs")
-            base.write(purged_bands, "bands")
-            base.write(purged_edges, "verified_edges")
+            base.write(_self_replace_safe(purged_docs, base), "docs")
+            base.write(_self_replace_safe(purged_bands, base), "bands")
+            base.write(_self_replace_safe(purged_edges, base),
+                       "verified_edges")
             base.write(merged, "clusters")
 
     elif args.command == "stats":

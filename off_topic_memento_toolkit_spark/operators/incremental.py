@@ -380,10 +380,14 @@ def incremental_dedup_update(
         return store.run_stage(name, build)
 
     def build_docs():
+        # dropDuplicates: the same page appearing twice in one batch
+        # (overlapping WARC globs, a re-crawled segment) must count ONCE —
+        # duplicate nid rows would double-count in every bucket-size cap
+        # downstream and permanently duplicate docs/bands on promote
         return prepare_pages(new_pages, need_tf_simhash=False).select(
             F.xxhash64("urim").alias("nid"),
             "urim", "text", "tokens", "raw_simhash",
-        )
+        ).dropDuplicates(["nid"])
 
     new_docs = stage("inc_docs", build_docs)
 

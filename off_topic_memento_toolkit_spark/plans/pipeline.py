@@ -101,7 +101,7 @@ def dedup_pipeline(
         return prepare_pages(pages, need_tf_simhash=False).select(
             F.xxhash64("urim").alias("nid"),
             "urim", "text", "tokens", "raw_simhash",
-        )
+        ).dropDuplicates(["nid"])  # duplicate input pages count once
 
     docs = stage("docs", build_docs)
     if store is None:

@@ -27,25 +27,9 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 from scaling_run import run_stage  # noqa: E402 — same subprocess worker
 
-BEGIN = "<!-- data-scaling:begin -->"
-END = "<!-- data-scaling:end -->"
+from bench_md import make_updater  # noqa: E402
 
-
-def update_bench_md(block: str):
-    path = os.path.join(REPO, "BENCH.md")
-    with open(path) as fh:
-        text = fh.read()
-    section = f"{BEGIN}\n{block}\n{END}"
-    if BEGIN in text:
-        pre = text[: text.index(BEGIN)]
-        post = text[text.index(END) + len(END):]
-        text = pre + section + post
-    else:
-        anchor = "Reference baseline:"
-        idx = text.index(anchor) if anchor in text else len(text)
-        text = text[:idx] + section + "\n\n" + text[idx:]
-    with open(path, "w") as fh:
-        fh.write(text)
+BEGIN, END, update_bench_md = make_updater("data-scaling")
 
 
 def main():

@@ -31,8 +31,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-BEGIN = "<!-- increment-bench:begin -->"
-END = "<!-- increment-bench:end -->"
+from bench_md import make_updater  # noqa: E402
+
+BEGIN, END, update_bench_md = make_updater("increment-bench")
 
 _WORKER = r"""
 import json, sys, time, os
@@ -165,23 +166,6 @@ def run_cell(mode, cpus, sf_dir, base_rep, delta_rep):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"no RESULT ({mode}):\n{out.stdout[-2000:]}\n"
                        f"{out.stderr[-2000:]}")
-
-
-def update_bench_md(block: str):
-    path = os.path.join(REPO, "BENCH.md")
-    with open(path) as fh:
-        text = fh.read()
-    section = f"{BEGIN}\n{block}\n{END}"
-    if BEGIN in text:
-        pre = text[: text.index(BEGIN)]
-        post = text[text.index(END) + len(END):]
-        text = pre + section + post
-    else:
-        anchor = "Reference baseline:"
-        idx = text.index(anchor) if anchor in text else len(text)
-        text = text[:idx] + section + "\n\n" + text[idx:]
-    with open(path, "w") as fh:
-        fh.write(text)
 
 
 def main():

@@ -25,8 +25,9 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-BEGIN = "<!-- submit-scaling:begin -->"
-END = "<!-- submit-scaling:end -->"
+from bench_md import make_updater  # noqa: E402 — scripts/ already on path
+
+BEGIN, END, update_bench_md = make_updater("submit-scaling")
 
 # the package itself reaches driver AND executors only through --py-files;
 # the harness-side workload module is imported from the repo's scripts dir
@@ -82,23 +83,6 @@ def run_submit(zip_path, job_path, n_execs, cores, mem_mb, sf_dir, replicate):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"no RESULT ({master}):\n{proc.stdout[-1500:]}\n"
                        f"{proc.stderr[-1500:]}")
-
-
-def update_bench_md(block: str):
-    path = os.path.join(REPO, "BENCH.md")
-    with open(path) as fh:
-        text = fh.read()
-    section = f"{BEGIN}\n{block}\n{END}"
-    if BEGIN in text:
-        pre = text[: text.index(BEGIN)]
-        post = text[text.index(END) + len(END):]
-        text = pre + section + post
-    else:
-        anchor = "Reference baseline:"
-        idx = text.index(anchor) if anchor in text else len(text)
-        text = text[:idx] + section + "\n\n" + text[idx:]
-    with open(path, "w") as fh:
-        fh.write(text)
 
 
 def main():

@@ -192,6 +192,56 @@ def test_cli_ingest_then_takedown_compose(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_cli_ingest_guards(spark, tmp_path):
+    """Round-4 review hardening: signature-parameter mismatch is a hard
+    error (silent zero-recall otherwise); a mid-promote-inconsistent base
+    is detected O(1) from the commit markers; takedown refuses a removal
+    list that matches nothing and tolerates CRLF."""
+    import pytest
+
+    pages = pages_from_documents(spark, SF_DIR)
+    src = str(tmp_path / "p")
+    pages.write.parquet(src)
+    ck = str(tmp_path / "ck")
+    main(["dedup", "-i", f"pages:{src}", "-o", str(tmp_path / "c"),
+          "--checkpoint-dir", ck, "--bands", "16", "--num-perm", "64"],
+         spark=spark)
+    store = CheckpointStore(spark, ck)
+    assert store.is_committed("params")
+
+    # mismatched signature space → hard error naming the offending flags
+    with pytest.raises(SystemExit, match="signature parameters"):
+        main(["ingest", "-i", f"pages:{src}", "--base-checkpoint-dir", ck,
+              "-o", str(tmp_path / "o")], spark=spark)
+
+    # matching params pass the gate (and CRLF-terminated removal lists
+    # still match after trimming)
+    rm = tmp_path / "rm.txt"
+    some = [r.urim for r in
+            spark.read.parquet(str(tmp_path / "c")).limit(3).collect()]
+    rm.write_bytes(("\r\n".join(some) + "\r\n").encode())
+    main(["takedown", "--base-checkpoint-dir", ck, "--remove", str(rm),
+          "-o", str(tmp_path / "t")], spark=spark)
+    survivors = spark.read.parquet(str(tmp_path / "t"))
+    assert survivors.filter(survivors.urim.isin(some)).count() == 0
+
+    # a list matching NOTHING is a hard error, not a silent no-op
+    rm2 = tmp_path / "rm2.txt"
+    rm2.write_text("http://nowhere.example/ghost\n")
+    with pytest.raises(SystemExit, match="0 of 1 removal entries"):
+        main(["takedown", "--base-checkpoint-dir", ck, "--remove",
+              str(rm2), "-o", str(tmp_path / "t2")], spark=spark)
+
+    # simulate a crashed promote: docs stage re-committed with extra rows,
+    # clusters left behind → the next ingest refuses to run
+    docs = store.read("docs")
+    store.write(docs.unionByName(docs.limit(1)), "docs")
+    with pytest.raises(SystemExit, match="mid-promote inconsistent"):
+        main(["ingest", "-i", f"pages:{src}", "--base-checkpoint-dir", ck,
+              "-o", str(tmp_path / "o2"), "--bands", "16",
+              "--num-perm", "64"], spark=spark)
+
+
 def test_cli_store_backend_selection(spark, tmp_path):
     """ingest/takedown demand a backend; --catalog without the Iceberg jar
     errors (sandbox has none); dir+catalog together is rejected."""

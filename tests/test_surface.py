@@ -1030,13 +1030,14 @@ def test_bmp_decoder_adversarial_headers():
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("module_name",
-                          ["submit_scaling_run", "datascale_run"])
+@_pytest.mark.parametrize(
+    "module_name",
+    ["submit_scaling_run", "datascale_run", "increment_bench"])
 def test_bench_md_marker_block_update(tmp_path, monkeypatch, module_name):
-    """Each harness's update_bench_md must replace ONLY its marked
-    block, preserve everything outside it (including the hand-written
-    analysis after the end marker), and insert before the reference
-    baseline on first write."""
+    """Each harness's update_bench_md (now one shared bench_md.make_updater
+    implementation) must replace ONLY its marked block, preserve everything
+    outside it (including the hand-written analysis after the end marker),
+    and insert before the reference baseline on first write."""
     import importlib
     import sys
 
@@ -1044,7 +1045,8 @@ def test_bench_md_marker_block_update(tmp_path, monkeypatch, module_name):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "scripts"))
     mod = importlib.import_module(module_name)
-    monkeypatch.setattr(mod, "REPO", str(tmp_path))
+    bench_md = importlib.import_module("bench_md")
+    monkeypatch.setattr(bench_md, "REPO", str(tmp_path))
 
     bench = tmp_path / "BENCH.md"
     bench.write_text("# BENCH\n\ntop tables\n\nReference baseline: none\n")
