@@ -380,14 +380,19 @@ def incremental_dedup_update(
         return store.run_stage(name, build)
 
     def build_docs():
-        # dropDuplicates: the same page appearing twice in one batch
-        # (overlapping WARC globs, a re-crawled segment) must count ONCE —
-        # duplicate nid rows would double-count in every bucket-size cap
-        # downstream and permanently duplicate docs/bands on promote
-        return prepare_pages(new_pages, need_tf_simhash=False).select(
+        # dedupe BEFORE the UDFs: the same page appearing twice in one
+        # batch (overlapping WARC globs, a re-crawled segment) must count
+        # ONCE — duplicate nid rows would double-count in every
+        # bucket-size cap downstream and permanently duplicate docs/bands
+        # on promote.  urim ≡ (url, warc_ts), so this is the nid-dedupe,
+        # done on the raw pages so duplicates are not extracted twice.
+        return prepare_pages(
+            new_pages.dropDuplicates(["url", "warc_ts"]),
+            need_tf_simhash=False,
+        ).select(
             F.xxhash64("urim").alias("nid"),
             "urim", "text", "tokens", "raw_simhash",
-        ).dropDuplicates(["nid"])
+        )
 
     new_docs = stage("inc_docs", build_docs)
 

@@ -98,10 +98,16 @@ def dedup_pipeline(
         # At 10^12 docs a 64-bit hash collides (birthday ≈ n²/2^65) — swap in
         # the 128-bit variant (two xxhash64 salts) when deploying at that
         # scale; collisions only ever MERGE clusters, never split them.
-        return prepare_pages(pages, need_tf_simhash=False).select(
+        # dedupe BEFORE the UDFs: a page listed twice (overlapping WARC
+        # globs) must count once — and must not be extracted/tokenized
+        # twice.  urim ≡ (url, warc_ts), so this is the nid-dedupe.
+        return prepare_pages(
+            pages.dropDuplicates(["url", "warc_ts"]),
+            need_tf_simhash=False,
+        ).select(
             F.xxhash64("urim").alias("nid"),
             "urim", "text", "tokens", "raw_simhash",
-        ).dropDuplicates(["nid"])  # duplicate input pages count once
+        )
 
     docs = stage("docs", build_docs)
     if store is None:
