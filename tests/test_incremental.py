@@ -253,6 +253,29 @@ def test_incremental_remove_equals_full_recompute(spark, seed):
     assert set(got) == set(survivors)
 
 
+def test_incremental_remove_shuffle_semi_variant(spark):
+    """broadcast_members=False (mega-cluster takedowns) must produce the
+    identical repair through shuffle semi-joins."""
+    from off_topic_memento_toolkit_spark.operators.incremental import (
+        incremental_remove,
+    )
+
+    rng = random.Random(13)
+    nodes = list(range(60))
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.choice(nodes), rng.choice(nodes))
+                                 for _ in range(50)) if a != b})
+    removed = sorted(rng.sample(nodes, 8))
+    assignments = _attach(spark, nodes, [(a, b) for a, b in edges])
+    edges_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    removed_df = spark.createDataFrame([(n,) for n in removed], "id long")
+    via_broadcast = _cc_dict(incremental_remove(
+        assignments, edges_df, removed_df, broadcast_members=True))
+    via_shuffle = _cc_dict(incremental_remove(
+        assignments, edges_df, removed_df, broadcast_members=False))
+    assert via_broadcast == via_shuffle
+
+
 def test_incremental_remove_bridge_splits_cluster(spark):
     from off_topic_memento_toolkit_spark.operators.incremental import (
         incremental_remove,
