@@ -384,10 +384,12 @@ def incremental_dedup_update(
         # batch (overlapping WARC globs, a re-crawled segment) must count
         # ONCE — duplicate nid rows would double-count in every
         # bucket-size cap downstream and permanently duplicate docs/bands
-        # on promote.  urim ≡ (url, warc_ts), so this is the nid-dedupe,
-        # done on the raw pages so duplicates are not extracted twice.
+        # on promote.  urim ≡ (url, warc_ts); dedupe_pages never shuffles
+        # the html payload (dup-key-targeted collapse).
+        from ..plans.pipeline import dedupe_pages
+
         return prepare_pages(
-            new_pages.dropDuplicates(["url", "warc_ts"]),
+            dedupe_pages(new_pages),
             need_tf_simhash=False,
         ).select(
             F.xxhash64("urim").alias("nid"),

@@ -66,6 +66,30 @@ def story_pipeline(meta: DataFrame, dedup_threshold: float = 0.2) -> DataFrame:
     return select_representatives(scored)
 
 
+def dedupe_pages(pages: DataFrame, id_cols=("url", "warc_ts")) -> DataFrame:
+    """Input-page dedupe that never shuffles the html payload.
+
+    A plain ``dropDuplicates`` would shuffle every row — at corpus scale
+    that moves the whole html column through the exchange for a guard
+    that usually removes nothing.  Instead: find the DUPLICATED keys with
+    a narrow-column aggregation (the scan prunes to the id columns), then
+    pass unique-keyed rows through map-side (broadcast anti-join) and
+    shuffle only the rows belonging to duplicated keys.  Among conflicting
+    duplicates (same key, different payload — a re-crawled page) the kept
+    row is arbitrary, matching ``dropDuplicates`` semantics.
+
+    Assumes the duplicate-key set fits a broadcast (duplicates are rare
+    in a deduped crawl frontier); a pathological input where most keys
+    repeat degrades to ~the plain dropDuplicates cost, not worse."""
+    cols = list(id_cols)
+    dup_keys = F.broadcast(
+        pages.groupBy(*cols).agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1).drop("_c"))
+    unique_part = pages.join(dup_keys, cols, "left_anti")
+    collapsed = pages.join(dup_keys, cols, "left_semi").dropDuplicates(cols)
+    return unique_part.unionByName(collapsed)
+
+
 def dedup_pipeline(
     pages: DataFrame,
     store=None,
@@ -102,7 +126,7 @@ def dedup_pipeline(
         # globs) must count once — and must not be extracted/tokenized
         # twice.  urim ≡ (url, warc_ts), so this is the nid-dedupe.
         return prepare_pages(
-            pages.dropDuplicates(["url", "warc_ts"]),
+            dedupe_pages(pages),
             need_tf_simhash=False,
         ).select(
             F.xxhash64("urim").alias("nid"),

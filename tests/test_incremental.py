@@ -217,6 +217,27 @@ def test_incremental_components_empty_delta_edges(spark):
     assert got == {1: 1, 2: 1, 9: 9}
 
 
+def test_dedupe_pages_collapses_without_payload_shuffle(spark):
+    """Within-batch duplicate pages collapse to one row; the collapse is
+    dup-key-targeted (broadcast joins — the html payload of unique-keyed
+    rows never crosses an exchange)."""
+    from off_topic_memento_toolkit_spark.plans.pipeline import dedupe_pages
+
+    df = spark.createDataFrame(
+        [("u1", "2020-01-01 00:00:00", b"a"),
+         ("u1", "2020-01-01 00:00:00", b"b"),
+         ("u2", "2020-01-01 00:00:00", b"c"),
+         ("u1", "2020-01-02 00:00:00", b"d")],
+        "url string, warc_ts string, html binary")
+    out = dedupe_pages(df)
+    assert out.count() == 3
+    assert {(r.url, r.warc_ts) for r in out.collect()} == {
+        ("u1", "2020-01-01 00:00:00"), ("u2", "2020-01-01 00:00:00"),
+        ("u1", "2020-01-02 00:00:00")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the anti/semi prunes broadcast
+
+
 # ----------------------------------------------------------------- takedown
 
 def _attach(spark, nodes, edges):
