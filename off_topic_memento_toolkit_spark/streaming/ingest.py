@@ -173,3 +173,58 @@ def streaming_exact_dedup_batch_equivalent(pages: DataFrame) -> DataFrame:
         .filter(F.col("_occ") == 1)
         .drop("_occ")
     )
+
+
+def streaming_incremental_candidates(
+    enriched: DataFrame,
+    base_bands: DataFrame,
+    num_perm: int = 128,
+    shingle_words: int = 5,
+    bands: int = 32,
+    seed: int = 1234567,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Continuous ingest against a deduped corpus: a STREAM-STATIC equi-join
+    of each micro-batch's minhash bands against the checkpointed base band
+    table (operators/incremental.py is the batch twin of this plan).
+
+    Emits (id_new, id_base, warc_ts) candidate pairs — new-vs-corpus only;
+    new-vs-new pairs within and across micro-batches belong to the periodic
+    batch `ingest` merge, which also owns cluster assignment (CC needs the
+    whole edge set; a stream emits candidates, not components).
+
+    Scale shape: the band UDF is stateless map-side work on the stream; the
+    join is Spark's native stream-static join (the static side is re-read
+    per micro-batch — on a real deployment point it at the bucketed/Iceberg
+    `bands` stage table so the join prunes partitions by band key); the
+    hot-bucket cap is applied STATICALLY to the base side (a stream cannot
+    window-count its own future), so a boilerplate mega-bucket never fans a
+    micro-batch out; pair-level dedup state is bounded by the watermark via
+    ``dropDuplicatesWithinWatermark``.
+
+    ``enriched``: output of :func:`build_streaming_enrichment` (carries the
+    event-time watermark; rows with empty tokens are dropped — they have no
+    shingle signature)."""
+    from pyspark.sql import Window
+
+    from ..functions.udfs import make_minhash_bands_udf
+
+    udf = make_minhash_bands_udf(num_perm, shingle_words, bands, seed)
+    new_bands = (
+        enriched
+        .filter(F.col("tokens").isNotNull() & (F.size("tokens") > 0))
+        .select(F.xxhash64("urim").alias("id_new"), "warc_ts",
+                F.posexplode(udf(F.col("tokens"))).alias("band", "band_hash"))
+    )
+    counted = base_bands.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band", "band_hash")))
+    bounded_base = (
+        counted.filter(F.col("_n") <= max_bucket_size).drop("_n")
+        .withColumnRenamed("id", "id_base")
+    )
+    return (
+        new_bands.join(bounded_base, ["band", "band_hash"])
+        .filter(F.col("id_new") != F.col("id_base"))
+        .select("id_new", "id_base", "warc_ts")
+        .dropDuplicatesWithinWatermark(["id_new", "id_base"])
+    )

@@ -217,6 +217,60 @@ def test_incremental_components_empty_delta_edges(spark):
     assert got == {1: 1, 2: 1, 9: 9}
 
 
+def test_streaming_incremental_candidates(spark, tmp_path):
+    """Stream-static join channel: an availableNow drain of new pages
+    against a static base band table emits exactly the new-vs-base pairs a
+    batch equi-join over capped base buckets yields."""
+    from off_topic_memento_toolkit_spark.operators.timeline import (
+        prepare_pages,
+    )
+    from off_topic_memento_toolkit_spark.queries import pages_from_documents
+    from off_topic_memento_toolkit_spark.streaming.ingest import (
+        build_streaming_enrichment,
+        streaming_incremental_candidates,
+    )
+
+    pages = pages_from_documents(spark, SF_DIR)
+    hour = F.unix_timestamp("warc_ts") / 3600
+    base_pages = pages.filter(hour % 5 != 0)
+    new_pages = pages.filter(hour % 5 == 0)
+    src = str(tmp_path / "stream_src")
+    new_pages.write.parquet(src)
+
+    base_docs = prepare_pages(base_pages, need_tf_simhash=False).select(
+        F.xxhash64("urim").alias("nid"), "tokens")
+    base_bands = minhash_band_table(
+        base_docs, id_col="nid", tokens_col="tokens").persist()
+
+    stream = build_streaming_enrichment(spark, src)
+    cands = streaming_incremental_candidates(stream, base_bands)
+    query = (cands.writeStream.format("memory")
+             .queryName("inc_cands").outputMode("append")
+             .trigger(availableNow=True).start())
+    query.awaitTermination(180)
+    got = {(r.id_new, r.id_base)
+           for r in spark.sql("select * from inc_cands").collect()}
+
+    # batch twin: new bands equi-joined against ≤cap base buckets
+    new_docs = prepare_pages(new_pages, need_tf_simhash=False).select(
+        F.xxhash64("urim").alias("nid"), "tokens")
+    new_bands = minhash_band_table(
+        new_docs, id_col="nid", tokens_col="tokens")
+    from pyspark.sql import Window
+
+    bounded = (base_bands.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band", "band_hash")))
+        .filter(F.col("_n") <= 64).drop("_n"))
+    want = {(r.id_new, r.id_base) for r in
+            new_bands.withColumnRenamed("id", "id_new")
+            .join(bounded.withColumnRenamed("id", "id_base"),
+                  ["band", "band_hash"])
+            .filter(F.col("id_new") != F.col("id_base"))
+            .select("id_new", "id_base").distinct().collect()}
+    assert got == want and want
+    base_bands.unpersist()
+
+
 def test_dedupe_pages_collapses_without_payload_shuffle(spark):
     """Within-batch duplicate pages collapse to one row; the collapse is
     dup-key-targeted (broadcast joins — the html payload of unique-keyed
