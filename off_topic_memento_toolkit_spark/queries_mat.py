@@ -186,6 +186,73 @@ JOIN b y ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id
 JOIN ok o ON x.band = o.band AND x.band_hash = o.band_hash"""
 
 
+# ------------------------------------------ streaming_incremental_pairs
+
+def q_streaming_incremental_pairs(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """The REAL stream-static incremental channel: readStream over the
+    delta pages → band UDF → native stream-static equi-join against the
+    static base band table → availableNow parquet sink, read back.  Oracle:
+    the same equi-join over the two materialized band tables in plain SQL
+    (base buckets capped at 64, exactly the static-side gate)."""
+    import shutil
+
+    from .operators.lsh import minhash_band_table
+    from .operators.timeline import prepare_pages
+    from .streaming.ingest import (
+        build_streaming_enrichment,
+        streaming_incremental_candidates,
+    )
+
+    base_pages, new_pages = _split_pages_for_increment(spark, sf_dir)
+    base_docs = prepare_pages(base_pages, need_raw_simhash=False,
+                              need_tf_simhash=False).select(
+        F.xxhash64("urim").alias("nid"), "tokens")
+    base_bands = _materialize(
+        minhash_band_table(base_docs, id_col="nid", tokens_col="tokens"),
+        "inc_stream_base_bands")
+    new_docs = prepare_pages(new_pages, need_raw_simhash=False,
+                             need_tf_simhash=False).select(
+        F.xxhash64("urim").alias("nid"), "tokens")
+    _materialize(
+        minhash_band_table(new_docs, id_col="nid", tokens_col="tokens"),
+        "inc_stream_new_bands")
+
+    workdir = f"{MAT_ROOT}/inc_stream_work"
+    shutil.rmtree(workdir, ignore_errors=True)
+    new_pages.write.mode("overwrite").parquet(f"{workdir}/src")
+    stream = build_streaming_enrichment(spark, f"{workdir}/src")
+    query = (
+        streaming_incremental_candidates(stream, base_bands)
+        .writeStream.format("parquet")
+        .option("path", f"{workdir}/out")
+        .option("checkpointLocation", f"{workdir}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(600)
+    return (
+        spark.read.parquet(f"{workdir}/out")
+        .select("id_new", "id_base").distinct()
+    )
+
+
+SQL_STREAMING_INC_PAIRS = f"""
+WITH nb AS (SELECT id AS id_new, band, band_hash
+            FROM {_mat('inc_stream_new_bands')}),
+bb AS (SELECT id AS id_base, band, band_hash
+       FROM {_mat('inc_stream_base_bands')}),
+ok AS (
+  SELECT band, band_hash FROM bb
+  GROUP BY band, band_hash HAVING count(*) <= 64
+)
+SELECT DISTINCT n.id_new AS id_new, b.id_base AS id_base
+FROM nb n
+JOIN bb b ON n.band = b.band AND n.band_hash = b.band_hash
+JOIN ok o ON n.band = o.band AND n.band_hash = o.band_hash
+WHERE n.id_new <> b.id_base"""
+
+
 # -------------------------------------------------- incremental_lsh_pairs
 
 def _split_pages_for_increment(spark: SparkSession, sf_dir: str):
@@ -1289,6 +1356,7 @@ def mat_queries() -> dict:
         "incremental_lsh_pairs": q_incremental_lsh_pairs,
         "incremental_dedup_merge": q_incremental_dedup_merge,
         "takedown_repair": q_takedown_repair,
+        "streaming_incremental_pairs": q_streaming_incremental_pairs,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1313,6 +1381,7 @@ def mat_oracle_sql() -> dict:
         "incremental_lsh_pairs": SQL_INCREMENTAL_PAIRS,
         "incremental_dedup_merge": SQL_INCREMENTAL_MERGE,
         "takedown_repair": SQL_TAKEDOWN,
+        "streaming_incremental_pairs": SQL_STREAMING_INC_PAIRS,
         "simhash_hamming_pairs": SQL_SIMHASH_PAIRS,
         "ann_lsh_topk": SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
