@@ -348,7 +348,15 @@ def main(argv=None, spark=None):
     stream.add_argument("-o", "--output", required=True)
     stream.add_argument("--checkpoint", required=True)
     stream.add_argument("--mode", default="dedup",
-                        choices=["dedup", "rates", "signatures"])
+                        choices=["dedup", "rates", "signatures",
+                                 "candidates"])
+    stream.add_argument("--base-checkpoint-dir",
+                        help="candidates mode: dedup checkpoint whose "
+                             "`bands` stage is the static join side")
+    stream.add_argument("--base-catalog",
+                        help="candidates mode: Iceberg catalog holding the "
+                             "base state")
+    stream.add_argument("--base-run-id", default="run-0")
     stream.add_argument("--watermark", default="1 hour")
     stream.add_argument("--window", default="1 hour")
     stream.add_argument("--once", action="store_true",
@@ -649,7 +657,19 @@ def main(argv=None, spark=None):
 
         enriched = build_streaming_enrichment(
             spark, args.input, watermark=args.watermark)
-        if args.mode == "dedup":
+        if args.mode == "candidates":
+            from .streaming.ingest import streaming_incremental_candidates
+
+            base = _make_store(spark, args.base_checkpoint_dir,
+                               args.base_catalog, args.base_run_id,
+                               required_by="stream --mode candidates")
+            if not base.is_committed("bands"):
+                raise SystemExit(
+                    "base checkpoint has no committed 'bands' stage — run "
+                    "`dedup --checkpoint-dir` over the corpus first")
+            out = streaming_incremental_candidates(
+                enriched, base.read("bands"))
+        elif args.mode == "dedup":
             out = streaming_sequential_dedup(enriched)
         elif args.mode == "rates":
             out = streaming_crawl_rates(enriched, window_duration=args.window)

@@ -242,6 +242,35 @@ def test_cli_ingest_guards(spark, tmp_path):
               "--num-perm", "64"], spark=spark)
 
 
+def test_cli_stream_candidates_mode(spark, tmp_path):
+    """`stream --mode candidates`: drains the delta against the dedup
+    checkpoint's bands stage and lands new-vs-base candidate pairs."""
+    pages = pages_from_documents(spark, SF_DIR)
+    hour = F.unix_timestamp("warc_ts") / 3600
+    base_pages = pages.filter(hour % 5 != 0)
+    new_pages = pages.filter(hour % 5 == 0)
+    base_src = str(tmp_path / "b")
+    new_src = str(tmp_path / "n")
+    base_pages.write.parquet(base_src)
+    new_pages.write.parquet(new_src)
+    ck = str(tmp_path / "ck")
+    main(["dedup", "-i", f"pages:{base_src}", "-o", str(tmp_path / "c"),
+          "--checkpoint-dir", ck], spark=spark)
+    out = str(tmp_path / "cands")
+    main(["stream", "-i", new_src, "-o", out,
+          "--checkpoint", str(tmp_path / "sck"),
+          "--mode", "candidates", "--base-checkpoint-dir", ck, "--once"],
+         spark=spark)
+    result = spark.read.parquet(out)
+    assert result.count() > 0
+    assert {"id_new", "id_base"} <= set(result.columns)
+    # every emitted base endpoint exists in the checkpointed corpus
+    store = CheckpointStore(spark, ck)
+    base_ids = {r.nid for r in
+                store.read("docs").select("nid").collect()}
+    assert {r.id_base for r in result.collect()} <= base_ids
+
+
 def test_cli_store_backend_selection(spark, tmp_path):
     """ingest/takedown demand a backend; --catalog without the Iceberg jar
     errors (sandbox has none); dir+catalog together is rejected."""
