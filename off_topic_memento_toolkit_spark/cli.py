@@ -189,16 +189,22 @@ def _check_promote_consistency(store):
             f"(its re-ingest guards make the retry converge)")
 
 
-def _self_replace_safe(df, store):
-    """Iceberg createOrReplace of a table that the plan also SCANS is a
-    self-referencing RTAS whose snapshot semantics vary by runtime; cut
-    the lineage first so the write never reads the table it replaces.
-    The parquet store is immune (every write lands in a fresh v{N})."""
+def _pin_promote_frames(store, frames: dict) -> dict:
+    """Pin EVERY frame a multi-stage promote will write, BEFORE the first
+    write.  Two Iceberg hazards force this: (a) createOrReplace of a table
+    the plan also scans is a self-referencing RTAS with runtime-dependent
+    snapshot semantics, and (b) a later write's plan may scan a table an
+    EARLIER write already replaced (Iceberg reads resolve at execution
+    time, so e.g. the bands write would see the post-replace docs table
+    and anti-join the whole batch away).  localCheckpoint materializes
+    each plan against the PRE-promote state.  The parquet store is immune
+    — its read() pins a version directory at call time — so frames pass
+    through lazily there."""
     from .plans.checkpoints import IcebergCheckpointStore
 
     if isinstance(store, IcebergCheckpointStore):
-        return df.localCheckpoint()
-    return df
+        return {name: df.localCheckpoint() for name, df in frames.items()}
+    return frames
 
 
 def main(argv=None, spark=None):
@@ -307,6 +313,10 @@ def main(argv=None, spark=None):
     ingest.add_argument("--bands", type=int, default=32)
     ingest.add_argument("--shingle-words", type=int, default=5)
     ingest.add_argument("--min-jaccard", type=float, default=0.8)
+    ingest.add_argument("--repair", action="store_true",
+                        help="bypass the mid-promote-inconsistency guard "
+                             "when RE-RUNNING the interrupted batch (the "
+                             "re-ingest guards make the retry converge)")
     ingest.add_argument("--promote", action="store_true",
                         help="commit merged docs/bands/clusters back to the "
                              "base checkpoint as new snapshot versions (the "
@@ -330,6 +340,9 @@ def main(argv=None, spark=None):
                                "format)")
     takedown.add_argument("-o", "--output", required=True,
                           help="updated (urim, component) parquet")
+    takedown.add_argument("--repair", action="store_true",
+                          help="bypass the mid-promote-inconsistency guard "
+                               "when re-running an interrupted promote")
     takedown.add_argument("--promote", action="store_true",
                           help="commit purged docs/bands and repaired "
                                "clusters back to the base checkpoint as new "
@@ -429,11 +442,17 @@ def main(argv=None, spark=None):
         pages = _apply_consider(spark, pages, args.consider)
         store = _make_store(spark, args.checkpoint_dir, args.catalog,
                             args.run_id)
+        if store is not None and store.is_committed("params"):
+            # a resumed run REUSES committed stages, so its effective
+            # signature space is the first run's — flags that disagree
+            # with the pinned params would silently mix band spaces
+            _check_params_stage(store, args, "dedup (resume)")
         _write_params_stage(spark, store, args)
         clusters = dedup_pipeline(
             pages, store=store, num_perm=args.num_perm, bands=args.bands,
             shingle_words=args.shingle_words, min_jaccard=args.min_jaccard,
             verify_method=args.verify_method,
+            input_scan_expensive=args.input.startswith("warc:"),
         )
         clusters.write.mode("overwrite").parquet(args.output)
 
@@ -457,7 +476,8 @@ def main(argv=None, spark=None):
                     f"base checkpoint has no committed {required!r} stage — "
                     f"run `dedup --checkpoint-dir` over the corpus first")
         _check_params_stage(base, args, "ingest")
-        _check_promote_consistency(base)
+        if not args.repair:
+            _check_promote_consistency(base)
         base_docs = base.read("docs")
         base_bands = base.read("bands")
         prior = base.read("clusters").select(
@@ -467,7 +487,8 @@ def main(argv=None, spark=None):
         result = incremental_dedup_update(
             base_docs, base_bands, prior, new_pages, store=inc_store,
             num_perm=args.num_perm, bands=args.bands,
-            shingle_words=args.shingle_words, min_jaccard=args.min_jaccard)
+            shingle_words=args.shingle_words, min_jaccard=args.min_jaccard,
+            input_scan_expensive=args.input.startswith("warc:"))
         # dropDuplicates guards the re-ingest case (a urim present in BOTH
         # base and batch would otherwise fan the join out to duplicate
         # output rows; the assignment itself already lists each id once)
@@ -489,20 +510,24 @@ def main(argv=None, spark=None):
             fresh_bands = result["bands"].join(
                 F.broadcast(known_ids.withColumnRenamed("nid", "id")),
                 "id", "left_anti")
-            base.write(_self_replace_safe(
-                base_docs.unionByName(fresh_docs), base), "docs")
-            base.write(_self_replace_safe(
-                base_bands.unionByName(fresh_bands), base), "bands")
             # evidence table too — a later `takedown` repairs clusters from
             # verified_edges, and the delta's pairs must be in it or a
             # takedown inside the merged clusters would silently drop the
-            # increment's connectivity
-            base.write(
-                base.read("verified_edges").select("id_a", "id_b")
-                .unionByName(result["verified"].select("id_a", "id_b"))
-                .distinct(),  # a re-ingested pair may be rediscovered
-                "verified_edges")
-            base.write(merged, "clusters")
+            # increment's connectivity.  ALL four frames are pinned BEFORE
+            # the first write: a later write's plan must never re-read a
+            # table an earlier write already replaced.
+            frames = _pin_promote_frames(base, {
+                "docs": base_docs.unionByName(fresh_docs),
+                "bands": base_bands.unionByName(fresh_bands),
+                "verified_edges":
+                    base.read("verified_edges").select("id_a", "id_b")
+                    .unionByName(result["verified"].select("id_a", "id_b"))
+                    .distinct(),  # a re-ingested pair may be rediscovered
+                "clusters": merged,
+            })
+            for stage_name in ("docs", "bands", "verified_edges",
+                               "clusters"):
+                base.write(frames[stage_name], stage_name)
 
     elif args.command == "takedown":
         from pyspark.sql import functions as F
@@ -522,8 +547,14 @@ def main(argv=None, spark=None):
                 raise SystemExit(
                     f"base checkpoint has no committed {required!r} stage — "
                     f"run `dedup --checkpoint-dir` over the corpus first")
-        if args.promote:
-            _check_promote_consistency(base)
+        if not args.repair:
+            # even a label-only repair reads clusters + verified_edges,
+            # which a crashed promote leaves mutually inconsistent (edges
+            # referencing nids the stale clusters never assigned); the
+            # check needs the docs marker, present whenever dedup built
+            # the checkpoint
+            if base.is_committed("docs"):
+                _check_promote_consistency(base)
         removed_urims = _read_consider(spark, args.remove)
         removed_nids = removed_urims.select(
             F.xxhash64("urim").alias("id")).distinct()
@@ -573,11 +604,15 @@ def main(argv=None, spark=None):
                                   .withColumnRenamed("id", "id_b")),
                       "id_b", "left_anti")
             )
-            base.write(_self_replace_safe(purged_docs, base), "docs")
-            base.write(_self_replace_safe(purged_bands, base), "bands")
-            base.write(_self_replace_safe(purged_edges, base),
-                       "verified_edges")
-            base.write(merged, "clusters")
+            frames = _pin_promote_frames(base, {
+                "docs": purged_docs,
+                "bands": purged_bands,
+                "verified_edges": purged_edges,
+                "clusters": merged,
+            })
+            for stage_name in ("docs", "bands", "verified_edges",
+                               "clusters"):
+                base.write(frames[stage_name], stage_name)
 
     elif args.command == "stats":
         from pyspark.sql import functions as F
@@ -667,8 +702,20 @@ def main(argv=None, spark=None):
                 raise SystemExit(
                     "base checkpoint has no committed 'bands' stage — run "
                     "`dedup --checkpoint-dir` over the corpus first")
+            # the delta's band hashes MUST live in the base table's
+            # signature space: read the pinned hyperparameters from the
+            # checkpoint (there is exactly one right answer, so no flags)
+            sig = {}
+            if base.is_committed("params"):
+                stored = base.read("params").first()
+                sig = {p: int(stored[p]) for p in _SIG_PARAMS}
+            else:
+                print("warning: base checkpoint has no `params` stage "
+                      "(older dedup); assuming default signature "
+                      "parameters — a non-default base yields zero "
+                      "candidates", file=sys.stderr)
             out = streaming_incremental_candidates(
-                enriched, base.read("bands"))
+                enriched, base.read("bands"), **sig)
         elif args.mode == "dedup":
             out = streaming_sequential_dedup(enriched)
         elif args.mode == "rates":

@@ -351,6 +351,7 @@ def incremental_dedup_update(
     use_simhash_channel: bool = True,
     max_bucket_size: int = 64,
     broadcast_new_keys: bool = True,
+    input_scan_expensive: bool = False,
 ) -> dict:
     """One ingest increment end-to-end: new pages → signatures → delta
     candidate pairs → Jaccard verify → merged assignment.
@@ -389,7 +390,7 @@ def incremental_dedup_update(
         from ..plans.pipeline import dedupe_pages
 
         return prepare_pages(
-            dedupe_pages(new_pages),
+            dedupe_pages(new_pages, expensive_scan=input_scan_expensive),
             need_tf_simhash=False,
         ).select(
             F.xxhash64("urim").alias("nid"),

@@ -66,7 +66,8 @@ def story_pipeline(meta: DataFrame, dedup_threshold: float = 0.2) -> DataFrame:
     return select_representatives(scored)
 
 
-def dedupe_pages(pages: DataFrame, id_cols=("url", "warc_ts")) -> DataFrame:
+def dedupe_pages(pages: DataFrame, id_cols=("url", "warc_ts"),
+                 expensive_scan: bool = False) -> DataFrame:
     """Input-page dedupe that never shuffles the html payload.
 
     A plain ``dropDuplicates`` would shuffle every row — at corpus scale
@@ -80,7 +81,16 @@ def dedupe_pages(pages: DataFrame, id_cols=("url", "warc_ts")) -> DataFrame:
 
     Assumes the duplicate-key set fits a broadcast (duplicates are rare
     in a deduped crawl frontier); a pathological input where most keys
-    repeat degrades to ~the plain dropDuplicates cost, not worse."""
+    repeat degrades to ~the plain dropDuplicates cost, not worse.
+
+    ``expensive_scan=True``: the plan above reads the source three times
+    (one narrow aggregation + two full scans), which is the right trade
+    for column-prunable parquet/Iceberg but TRIPLES the parse cost of a
+    non-prunable source (warc: globs re-parse every record per scan) —
+    that flag switches to a single-scan ``dropDuplicates`` (one full
+    shuffle instead of two extra scans)."""
+    if expensive_scan:
+        return pages.dropDuplicates(list(id_cols))
     cols = list(id_cols)
     dup_keys = F.broadcast(
         pages.groupBy(*cols).agg(F.count("*").alias("_c"))
@@ -103,6 +113,7 @@ def dedup_pipeline(
     verify_method: str = "jaccard",
     min_lcs_ratio: float = 0.6,
     cc_small_graph_threshold: int = 1 << 20,
+    input_scan_expensive: bool = False,
 ) -> DataFrame:
     """Near-duplicate clusters at scale: MinHash-LSH (+ SimHash Hamming-ball)
     candidates → verification → large-star/small-star CC.
@@ -126,7 +137,7 @@ def dedup_pipeline(
         # globs) must count once — and must not be extracted/tokenized
         # twice.  urim ≡ (url, warc_ts), so this is the nid-dedupe.
         return prepare_pages(
-            dedupe_pages(pages),
+            dedupe_pages(pages, expensive_scan=input_scan_expensive),
             need_tf_simhash=False,
         ).select(
             F.xxhash64("urim").alias("nid"),

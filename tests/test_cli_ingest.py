@@ -232,14 +232,29 @@ def test_cli_ingest_guards(spark, tmp_path):
         main(["takedown", "--base-checkpoint-dir", ck, "--remove",
               str(rm2), "-o", str(tmp_path / "t2")], spark=spark)
 
+    # a RESUMED dedup with different flags must refuse (it would reuse
+    # committed stages from the other signature space)
+    with pytest.raises(SystemExit, match="signature parameters"):
+        main(["dedup", "-i", f"pages:{src}", "-o", str(tmp_path / "c2"),
+              "--checkpoint-dir", ck], spark=spark)
+
     # simulate a crashed promote: docs stage re-committed with extra rows,
-    # clusters left behind → the next ingest refuses to run
+    # clusters left behind → the next ingest AND a label-only takedown
+    # refuse to run; --repair bypasses the guard for the prescribed retry
     docs = store.read("docs")
     store.write(docs.unionByName(docs.limit(1)), "docs")
     with pytest.raises(SystemExit, match="mid-promote inconsistent"):
         main(["ingest", "-i", f"pages:{src}", "--base-checkpoint-dir", ck,
               "-o", str(tmp_path / "o2"), "--bands", "16",
               "--num-perm", "64"], spark=spark)
+    with pytest.raises(SystemExit, match="mid-promote inconsistent"):
+        main(["takedown", "--base-checkpoint-dir", ck, "--remove", str(rm),
+              "-o", str(tmp_path / "t3")], spark=spark)
+    main(["ingest", "-i", f"pages:{src}", "--base-checkpoint-dir", ck,
+          "-o", str(tmp_path / "o3"), "--bands", "16", "--num-perm", "64",
+          "--repair"], spark=spark)
+    repaired = spark.read.parquet(str(tmp_path / "o3"))
+    assert repaired.count() == repaired.select("urim").distinct().count()
 
 
 def test_cli_stream_candidates_mode(spark, tmp_path):
@@ -269,6 +284,28 @@ def test_cli_stream_candidates_mode(spark, tmp_path):
     base_ids = {r.nid for r in
                 store.read("docs").select("nid").collect()}
     assert {r.id_base for r in result.collect()} <= base_ids
+
+
+def test_cli_stream_candidates_uses_stored_params(spark, tmp_path):
+    """A base built with NON-default signature params: the stream channel
+    must read them from the checkpoint's params stage — hardcoded defaults
+    would hash the delta into a different band space and emit nothing."""
+    pages = pages_from_documents(spark, SF_DIR)
+    hour = F.unix_timestamp("warc_ts") / 3600
+    base_src = str(tmp_path / "b")
+    new_src = str(tmp_path / "n")
+    pages.filter(hour % 5 != 0).write.parquet(base_src)
+    pages.filter(hour % 5 == 0).write.parquet(new_src)
+    ck = str(tmp_path / "ck")
+    main(["dedup", "-i", f"pages:{base_src}", "-o", str(tmp_path / "c"),
+          "--checkpoint-dir", ck, "--bands", "16", "--num-perm", "64"],
+         spark=spark)
+    out = str(tmp_path / "cands")
+    main(["stream", "-i", new_src, "-o", out,
+          "--checkpoint", str(tmp_path / "sck"),
+          "--mode", "candidates", "--base-checkpoint-dir", ck, "--once"],
+         spark=spark)
+    assert spark.read.parquet(out).count() > 0
 
 
 def test_cli_store_backend_selection(spark, tmp_path):
