@@ -185,8 +185,9 @@ def _check_promote_consistency(store):
             f"base checkpoint is mid-promote inconsistent (docs has "
             f"{docs_rows} rows, clusters {clusters_rows}) — a previous "
             f"--promote crashed between stage commits; re-run the "
-            f"interrupted ingest/takedown with the SAME batch to repair "
-            f"(its re-ingest guards make the retry converge)")
+            f"interrupted ingest/takedown with the SAME batch plus "
+            f"--repair to finish it (the re-ingest guards make the retry "
+            f"converge)")
 
 
 def _pin_promote_frames(store, frames: dict) -> dict:
