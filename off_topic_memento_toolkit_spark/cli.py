@@ -529,6 +529,9 @@ def main(argv=None, spark=None):
             for stage_name in ("docs", "bands", "verified_edges",
                                "clusters"):
                 base.write(frames[stage_name], stage_name)
+        # every consumer of the increment's stage frames has materialized;
+        # release the storeless path's pins (no-op with --checkpoint-dir)
+        result["unpersist"]()
 
     elif args.command == "takedown":
         from pyspark.sql import functions as F

@@ -74,6 +74,16 @@ def _delta_touching_pairs(
     if broadcast_new_keys:
         new_keys = F.broadcast(new_keys)
     pruned_base = base_rows.join(new_keys, key_cols, "left_semi")
+    # a RE-INGESTED id (present in both tables) must count ONCE per bucket:
+    # its base rows are dropped entirely (the new rows represent the doc
+    # now), otherwise the doubled membership inflates the window count and
+    # a bucket at the cap boundary is spuriously dropped — silent candidate
+    # loss on re-ingest batches.  Delta-sized key set, same broadcast rule
+    # as the bucket-key prune.
+    new_ids = new_rows.select("id").distinct()
+    if broadcast_new_keys:
+        new_ids = F.broadcast(new_ids)
+    pruned_base = pruned_base.join(new_ids, "id", "left_anti")
 
     member = F.struct(F.col("id"), F.col("is_new"),
                       *[F.col(c) for c in payload_cols])
@@ -142,6 +152,11 @@ def incremental_dropped_bucket_stats(
     if broadcast_new_keys:
         new_keys = F.broadcast(new_keys)
     pruned_base = base_bands.join(new_keys, ["band", "band_hash"], "left_semi")
+    # mirror the pairing gate's re-ingest rule: base rows of delta ids drop
+    new_ids = new_bands.select("id").distinct()
+    if broadcast_new_keys:
+        new_ids = F.broadcast(new_ids)
+    pruned_base = pruned_base.join(new_ids, "id", "left_anti")
     rows = pruned_base.select("id", "band", "band_hash").unionByName(
         new_bands.select("id", "band", "band_hash"))
     return (
@@ -363,11 +378,17 @@ def incremental_dedup_update(
     ``inc_<name>`` so a killed ingest resumes (same contract as
     dedup_pipeline).
 
-    Returns {"docs", "bands", "candidates", "verified", "assignments"}; the
-    new stage tables are what the NEXT increment uses as its base (append
-    bands/docs, replace assignments)."""
+    Returns {"docs", "bands", "candidates", "verified", "assignments",
+    "unpersist"}; the new stage tables are what the NEXT increment uses as
+    its base (append bands/docs, replace assignments).  ``unpersist()``
+    releases the storeless path's pinned stage frames — call it once the
+    returned assignments have been materialized (a long-lived session doing
+    many increments would otherwise accumulate cached blocks); with a store
+    it is a no-op (stages are disk-backed tables, nothing is pinned)."""
     from ..operators.lsh import minhash_band_table
     from ..operators.timeline import prepare_pages
+
+    pinned: list = []
 
     def stage(name, build):
         # with a store, every stage is a committed table (disk-backed reads
@@ -377,8 +398,20 @@ def incremental_dedup_update(
         # the whole delta extract/signature/verify pipeline per traversal
         # (measured 3x slower than a full batch recompute before this pin)
         if store is None:
-            return build().persist()
+            df = build().persist()
+            pinned.append(df)
+            return df
         return store.run_stage(name, build)
+
+    def unpersist():
+        released = 0
+        while pinned:
+            try:
+                pinned.pop().unpersist(False)
+                released += 1
+            except Exception:  # noqa: BLE001 — session already stopped
+                pass
+        return released
 
     def build_docs():
         # dedupe BEFORE the UDFs: the same page appearing twice in one
@@ -471,4 +504,5 @@ def incremental_dedup_update(
         "candidates": candidates,
         "verified": verified,
         "assignments": assignments,
+        "unpersist": unpersist,
     }

@@ -92,11 +92,21 @@ def dedupe_pages(pages: DataFrame, id_cols=("url", "warc_ts"),
     if expensive_scan:
         return pages.dropDuplicates(list(id_cols))
     cols = list(id_cols)
+    # null-SAFE key matching throughout: dropDuplicates treats NULL keys as
+    # equal, so the semi/anti routing must too — a plain equality join would
+    # never match a NULL key and duplicated null-keyed rows would pass
+    # through the unique branch uncollapsed.  groupBy already groups NULLs;
+    # the joins use eqNullSafe (still a broadcast hash join — EqualNullSafe
+    # is a valid hash-join key).
     dup_keys = F.broadcast(
         pages.groupBy(*cols).agg(F.count("*").alias("_c"))
-        .filter(F.col("_c") > 1).drop("_c"))
-    unique_part = pages.join(dup_keys, cols, "left_anti")
-    collapsed = pages.join(dup_keys, cols, "left_semi").dropDuplicates(cols)
+        .filter(F.col("_c") > 1).drop("_c")
+        .select(*[F.col(c).alias(f"_dk_{c}") for c in cols]))
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & pages[c].eqNullSafe(F.col(f"_dk_{c}"))
+    unique_part = pages.join(dup_keys, cond, "left_anti")
+    collapsed = pages.join(dup_keys, cond, "left_semi").dropDuplicates(cols)
     return unique_part.unionByName(collapsed)
 
 

@@ -32,7 +32,9 @@ def test_cli_ingest_end_to_end(spark, tmp_path):
 
     ck = str(tmp_path / "ck")
     base_out = str(tmp_path / "base_clusters")
-    # simhash channel off: the incremental path is the minhash one
+    # CLI dedup/ingest run with BOTH candidate channels (defaults), so the
+    # expected clusters below are computed like-for-like with the simhash
+    # channel enabled too
     main(["dedup", "-i", f"pages:{base_src}", "-o", base_out,
           "--checkpoint-dir", ck], spark=spark)
     store = CheckpointStore(spark, ck)
@@ -44,8 +46,7 @@ def test_cli_ingest_end_to_end(spark, tmp_path):
           "--promote"], spark=spark)
 
     got = _clusters(spark.read.parquet(inc_out))
-    want = _clusters(dedup_pipeline(
-        base_pages.unionByName(inc1_pages), use_simhash_channel=False))
+    want = _clusters(dedup_pipeline(base_pages.unionByName(inc1_pages)))
     assert got == want and len(got) > 0
 
     # --promote versioned the base state: docs/bands/clusters now at v2
@@ -58,7 +59,7 @@ def test_cli_ingest_end_to_end(spark, tmp_path):
           "-o", inc2_out, "--checkpoint-dir", str(tmp_path / "ick2")],
          spark=spark)
     got2 = _clusters(spark.read.parquet(inc2_out))
-    want2 = _clusters(dedup_pipeline(pages, use_simhash_channel=False))
+    want2 = _clusters(dedup_pipeline(pages))
     assert got2 == want2
 
 

@@ -86,6 +86,32 @@ def test_incremental_pairs_cap_counts_base_plus_new(spark):
     assert got == {(10, 12), (11, 12)}
 
 
+def test_incremental_pairs_reingested_id_counts_once(spark):
+    """A re-ingested id present in base AND new bands counts ONCE in the
+    bucket-cap window: distinct membership {1,2,3,4} == cap survives (the
+    superseded base row of id 3 must not inflate the count to 5 and
+    spuriously drop the bucket)."""
+    base = _band_rows(spark, [(1, 0, 100), (2, 0, 100), (3, 0, 100)])
+    new = _band_rows(spark, [(3, 0, 100), (4, 0, 100)])  # 3 re-ingested
+    got = _pairs_set(
+        incremental_candidate_pairs(base, new, max_bucket_size=4))
+    assert got == {(1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+
+
+def test_incremental_dropped_stats_reingest_not_double_counted(spark):
+    """The observability counter applies the same superseding rule: the
+    4-distinct-member bucket is NOT reported dropped at cap=4."""
+    from off_topic_memento_toolkit_spark.operators.incremental import (
+        incremental_dropped_bucket_stats,
+    )
+
+    base = _band_rows(spark, [(1, 0, 100), (2, 0, 100), (3, 0, 100)])
+    new = _band_rows(spark, [(3, 0, 100), (4, 0, 100)])
+    row = incremental_dropped_bucket_stats(base, new, max_bucket_size=4) \
+        .first()
+    assert row.dropped_buckets == 0 and row.dropped_rows == 0
+
+
 def test_incremental_dropped_bucket_stats(spark):
     """The cap's exclusions are observable, counted over base ∪ new
     membership, and only for delta-touched buckets."""
@@ -290,6 +316,25 @@ def test_dedupe_pages_collapses_without_payload_shuffle(spark):
         ("u1", "2020-01-02 00:00:00")}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the anti/semi prunes broadcast
+
+
+def test_dedupe_pages_null_keys_collapse(spark):
+    """NULL-keyed duplicates collapse exactly like dropDuplicates (the
+    semi/anti routing is null-SAFE): rows sharing a (url, NULL) or
+    (NULL, NULL) key become one row instead of passing through uncollapsed."""
+    from off_topic_memento_toolkit_spark.plans.pipeline import dedupe_pages
+
+    df = spark.createDataFrame(
+        [("u1", None, b"a"), ("u1", None, b"b"),
+         (None, None, b"c"), (None, None, b"d"),
+         ("u2", "2020-01-01 00:00:00", b"e")],
+        "url string, warc_ts string, html binary")
+    out = dedupe_pages(df)
+    assert out.count() == 3
+    assert {(r.url, r.warc_ts) for r in out.collect()} == {
+        ("u1", None), (None, None), ("u2", "2020-01-01 00:00:00")}
+    # equivalence with the single-scan path on the same input
+    assert out.count() == df.dropDuplicates(["url", "warc_ts"]).count()
 
 
 # ----------------------------------------------------------------- takedown
