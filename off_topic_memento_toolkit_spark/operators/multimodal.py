@@ -165,6 +165,40 @@ def bmp_resize(payload: bytes, w, h, target_w: int, target_h: int) -> bytes:
     return encode_bmp(rgb[ys][:, xs])
 
 
+def synthesize_bmp_media(docs: DataFrame, id_col: str = "doc_id",
+                         width: int = 16, height: int = 16,
+                         corrupt_every: int | None = None) -> DataFrame:
+    """Deterministic BMP media table from an id column — the fixture
+    generator for tests/benchmarks (no external data): pixels are a seeded
+    sha256 expansion of the id (content-sensitive, reproducible across
+    executors), encoded through the REAL :func:`encode_bmp` codec.
+    ``corrupt_every``: every id divisible by it (except 0) gets a truncated
+    payload, exercising the decode-error row path downstream.
+    Partition-preserving mapInPandas — no shuffle."""
+    def gen(batches):
+        need = width * height * 3
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf[id_col]:
+                n = int(raw_id)
+                digest = hashlib.sha256(f"bmp-{n}".encode()).digest()
+                buf = (digest * (need // len(digest) + 1))[:need]
+                arr = np.frombuffer(buf, dtype=np.uint8) \
+                    .reshape(height, width, 3)
+                payload = encode_bmp(arr)
+                if corrupt_every and n and n % corrupt_every == 0:
+                    payload = payload[:20]  # truncated header → decode error
+                rows.append((str(n), "image", payload, "image/bmp",
+                             width, height))
+            frame = pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "mime", "width", "height"])
+            frame["duration_ms"] = pd.array([None] * len(rows),
+                                            dtype="Int64")
+            yield frame
+
+    return docs.select(id_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def make_feature_extractor(decode_fn=None, dim: int = 16):
     """mapInPandas kernel: binary payload → feature vector.
 

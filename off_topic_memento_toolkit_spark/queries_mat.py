@@ -1348,6 +1348,66 @@ FROM li JOIN eligible e ON li.urit = e.urit"""
 
 # ---------------------------------------------------------------- registry
 
+# ----------------------------------------------------- multimodal_bmp_topk
+
+def q_multimodal_bmp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image channel end-to-end on the REAL codec path:
+    deterministic per-document BMP payloads (seeded pixels through the real
+    encoder; a few deliberately corrupted) → nearest-neighbor BMP resize →
+    grid-pooled feature extraction (decode_bmp, mapInPandas) → brute-force
+    cosine top-k.  The decoded feature table is the materialized
+    intermediate; DuckDB re-derives the top-k relation independently —
+    including that error rows (corrupt payloads) are excluded.  The codec
+    kernels themselves are pinned by the BMP e2e + adversarial-header fuzz
+    tests (tests/test_surface.py)."""
+    from .operators.ann import cosine_topk
+    from .operators.multimodal import (
+        bmp_feature_decode,
+        bmp_resize,
+        extract_media_features,
+        resize_media,
+        synthesize_bmp_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthesize_bmp_media(docs, corrupt_every=97)
+    resized = resize_media(media, 8, 8, resize_fn=bmp_resize)
+    feats = _materialize(
+        extract_media_features(resized, decode_fn=bmp_feature_decode,
+                               dim=16),
+        "mm_features",
+    )
+    ok = feats.filter(F.col("decode_error").isNull()) \
+        .select("media_id", "feature")
+    queries = ok.filter(F.col("media_id").cast("long") % 50 == 0)
+    result = cosine_topk(ok, queries, k=5, id_col="media_id",
+                         vec_col="feature")
+    return result.withColumn("cosine", F.round("cosine", 6))
+
+
+SQL_MULTIMODAL_TOPK = f"""
+WITH f AS (
+  SELECT media_id, feature::DOUBLE[] AS v
+  FROM {_mat('mm_features')} WHERE decode_error IS NULL
+),
+q AS (
+  SELECT media_id AS query_id, v AS qv FROM f
+  WHERE media_id::BIGINT % 50 = 0
+),
+scored AS (
+  SELECT q.query_id AS query_id, f.media_id AS neighbor_id,
+         list_cosine_similarity(qv, f.v) AS cos
+  FROM f, q
+),
+ranked AS (
+  SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5"""
+
+
 def mat_queries() -> dict:
     return {
         "streaming_dedup_batch": q_streaming_dedup_batch,
@@ -1370,6 +1430,7 @@ def mat_queries() -> dict:
         "lsi_vs_first": q_lsi_vs_first,
         "offtopic_measures_full": q_offtopic_measures_full,
         "gensim_lda_contract": q_gensim_lda_contract,
+        "multimodal_bmp_topk": q_multimodal_bmp_topk,
     }
 
 
@@ -1395,4 +1456,5 @@ def mat_oracle_sql() -> dict:
         "lsi_vs_first": SQL_LSI,
         "offtopic_measures_full": SQL_MEASURES_FULL,
         "gensim_lda_contract": SQL_LDA_CONTRACT,
+        "multimodal_bmp_topk": SQL_MULTIMODAL_TOPK,
     }

@@ -993,6 +993,32 @@ def test_iceberg_checkpoint_contract(spark, tmp_path):
     assert store2.read("stage_a").count() == 3
 
 
+def test_synthesize_bmp_media_fixture(spark):
+    """The battery's media fixture generator: deterministic payloads
+    (same id → same bytes across runs/partitionings), real decodable BMPs,
+    and the corrupt_every ids yield decode-error rows downstream."""
+    from off_topic_memento_toolkit_spark.operators.multimodal import (
+        bmp_feature_decode,
+        decode_bmp,
+        extract_media_features,
+        synthesize_bmp_media,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    media = synthesize_bmp_media(docs, corrupt_every=5)
+    rows = {r.media_id: bytes(r.payload) for r in media.collect()}
+    rows2 = {r.media_id: bytes(r.payload)
+             for r in synthesize_bmp_media(
+                 docs.repartition(4), corrupt_every=5).collect()}
+    assert rows == rows2 and len(rows) == 12
+    assert decode_bmp(rows["3"]).shape == (16, 16, 3)
+    feats = extract_media_features(media, decode_fn=bmp_feature_decode,
+                                   dim=16)
+    errs = {r.media_id for r in
+            feats.filter(feats.decode_error.isNotNull()).collect()}
+    assert errs == {"5", "10"}  # corrupt_every=5, id 0 exempt
+
+
 def test_bmp_decoder_adversarial_headers():
     """Hostile BMP headers (negative/zero/overflowing dimensions, offset
     past end, truncation) must raise ValueError — mapInPandas turns that
