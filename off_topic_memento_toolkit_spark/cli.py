@@ -190,6 +190,17 @@ def _check_promote_consistency(store):
             f"converge)")
 
 
+def _promote_stages_bucketed(store) -> bool:
+    """True when every promote-mutated stage carries a bucketed layout —
+    the row-level merge path (O(touched buckets) writes).  Legacy
+    checkpoints written before bucketing fall back to full rewrites."""
+    try:
+        return all(store.marker(s).get("bucket_by")
+                   for s in ("docs", "bands", "verified_edges", "clusters"))
+    except Exception:  # noqa: BLE001 — missing marker → legacy path
+        return False
+
+
 def _pin_promote_frames(store, frames: dict) -> dict:
     """Pin EVERY frame a multi-stage promote will write, BEFORE the first
     write.  Two Iceberg hazards force this: (a) createOrReplace of a table
@@ -250,6 +261,12 @@ def main(argv=None, spark=None):
 
     dedup.add_argument("--verify-method", default="jaccard",
                        choices=["jaccard", "lcs"])
+    dedup.add_argument("--state-buckets", type=int, default=32,
+                       help="hash buckets for the mutable corpus-state "
+                            "stages (docs/bands/verified_edges/clusters); "
+                            "ingest/takedown --promote then merge row-level"
+                            ", rewriting only touched buckets — size so a "
+                            "bucket is a few GB at your corpus scale")
 
     story = sub.add_parser("story", help="curation chain (dedup/slice/cluster/pick)")
     story.add_argument("-i", "--input", required=True)
@@ -454,6 +471,7 @@ def main(argv=None, spark=None):
             shingle_words=args.shingle_words, min_jaccard=args.min_jaccard,
             verify_method=args.verify_method,
             input_scan_expensive=args.input.startswith("warc:"),
+            state_buckets=args.state_buckets,
         )
         clusters.write.mode("overwrite").parquet(args.output)
 
@@ -489,7 +507,8 @@ def main(argv=None, spark=None):
             base_docs, base_bands, prior, new_pages, store=inc_store,
             num_perm=args.num_perm, bands=args.bands,
             shingle_words=args.shingle_words, min_jaccard=args.min_jaccard,
-            input_scan_expensive=args.input.startswith("warc:"))
+            input_scan_expensive=args.input.startswith("warc:"),
+            with_delta=args.promote and _promote_stages_bucketed(base))
         # dropDuplicates guards the re-ingest case (a urim present in BOTH
         # base and batch would otherwise fan the join out to duplicate
         # output rows; the assignment itself already lists each id once)
@@ -514,21 +533,47 @@ def main(argv=None, spark=None):
             # evidence table too — a later `takedown` repairs clusters from
             # verified_edges, and the delta's pairs must be in it or a
             # takedown inside the merged clusters would silently drop the
-            # increment's connectivity.  ALL four frames are pinned BEFORE
-            # the first write: a later write's plan must never re-read a
-            # table an earlier write already replaced.
-            frames = _pin_promote_frames(base, {
-                "docs": base_docs.unionByName(fresh_docs),
-                "bands": base_bands.unionByName(fresh_bands),
-                "verified_edges":
-                    base.read("verified_edges").select("id_a", "id_b")
-                    .unionByName(result["verified"].select("id_a", "id_b"))
-                    .distinct(),  # a re-ingested pair may be rediscovered
-                "clusters": merged,
-            })
-            for stage_name in ("docs", "bands", "verified_edges",
-                               "clusters"):
-                base.write(frames[stage_name], stage_name)
+            # increment's connectivity.  ALL frames are pinned BEFORE the
+            # first write: a later write's plan must never re-read a table
+            # an earlier write already replaced.
+            if _promote_stages_bucketed(base):
+                # row-level merge path: each stage write touches only the
+                # buckets the batch's keys hash into — the promote is
+                # O(delta), never a corpus rewrite.  Order (docs first,
+                # clusters last) preserves the mid-promote crash detector.
+                frames = _pin_promote_frames(base, {
+                    "docs": fresh_docs,
+                    "bands": fresh_bands,
+                    "verified_edges":
+                        result["verified"].select("id_a", "id_b"),
+                    # changed base labels + the batch — O(delta)
+                    "clusters": result["assignments_delta"]
+                        .join(urims, "nid").select("urim", "component"),
+                })
+                base.merge("docs", changes=frames["docs"],
+                           insert_only=True)
+                base.merge("bands", changes=frames["bands"],
+                           insert_only=True)
+                # insert-if-absent on the full pair key: a re-ingested
+                # pair may be rediscovered and must not duplicate
+                base.merge("verified_edges",
+                           changes=frames["verified_edges"],
+                           insert_only=True, on=["id_a", "id_b"])
+                base.merge("clusters", changes=frames["clusters"])
+            else:
+                frames = _pin_promote_frames(base, {
+                    "docs": base_docs.unionByName(fresh_docs),
+                    "bands": base_bands.unionByName(fresh_bands),
+                    "verified_edges":
+                        base.read("verified_edges").select("id_a", "id_b")
+                        .unionByName(result["verified"]
+                                     .select("id_a", "id_b"))
+                        .distinct(),
+                    "clusters": merged,
+                })
+                for stage_name in ("docs", "bands", "verified_edges",
+                                   "clusters"):
+                    base.write(frames[stage_name], stage_name)
         # every consumer of the increment's stage frames has materialized;
         # release the storeless path's pins (no-op with --checkpoint-dir)
         result["unpersist"]()
@@ -578,45 +623,80 @@ def main(argv=None, spark=None):
                 f"deleted; check the list against the corpus URI-Ms")
         print(f"takedown: {n_matched} of {n_listed} removal entries "
               f"matched", file=sys.stderr)
-        updated = incremental_remove(
-            assignments, base.read("verified_edges"), removed_nids)
-        merged = (
-            updated.join(
-                clusters.select(F.xxhash64("urim").alias("id"), "urim"),
-                "id")
-            .select("urim", "component")
-        )
+        result = incremental_remove(
+            assignments, base.read("verified_edges"), removed_nids,
+            with_delta=True)
+        updated = result["assignments"]
+        id_to_urim = clusters.select(F.xxhash64("urim").alias("id"), "urim")
+        merged = updated.join(id_to_urim, "id").select("urim", "component")
         merged.write.mode("overwrite").parquet(args.output)
         if args.promote:
             # the actual deletion: purge the document payloads and
-            # signatures, not just the labels
-            purged_docs = base.read("docs").join(
-                F.broadcast(removed_urims), "urim", "left_anti")
-            purged_bands = base.read("bands").join(
-                F.broadcast(removed_nids.withColumnRenamed("id", "nid")),
-                F.col("id") == F.col("nid"), "left_anti")
-            # dead edges MUST go too: an edge with one deleted endpoint
-            # would, in a later takedown's cluster repair, reconnect
-            # survivors through a ghost node (incremental_remove assumes
-            # the edges table references only live documents)
-            purged_edges = (
-                base.read("verified_edges")
-                .join(F.broadcast(removed_nids
-                                  .withColumnRenamed("id", "id_a")),
-                      "id_a", "left_anti")
-                .join(F.broadcast(removed_nids
-                                  .withColumnRenamed("id", "id_b")),
-                      "id_b", "left_anti")
-            )
-            frames = _pin_promote_frames(base, {
-                "docs": purged_docs,
-                "bands": purged_bands,
-                "verified_edges": purged_edges,
-                "clusters": merged,
-            })
-            for stage_name in ("docs", "bands", "verified_edges",
-                               "clusters"):
-                base.write(frames[stage_name], stage_name)
+            # signatures, not just the labels.  Dead edges MUST go too: an
+            # edge with one deleted endpoint would, in a later takedown's
+            # cluster repair, reconnect survivors through a ghost node
+            # (incremental_remove assumes the edges table references only
+            # live documents).
+            if _promote_stages_bucketed(base):
+                # row-level merge path: deletes + the repaired members'
+                # relabels touch only their hash buckets — O(touched
+                # clusters), never a corpus rewrite.  The dead-edge key
+                # set is found with a map-only pass (broadcast semi-joins
+                # on either endpoint; both endpoints of a verified edge
+                # share a component, so the result is takedown-sized) —
+                # the pair keys then localize the deletes to the id_a
+                # buckets.
+                edges_now = base.read("verified_edges")
+                rm_a = removed_nids.withColumnRenamed("id", "id_a")
+                rm_b = removed_nids.withColumnRenamed("id", "id_b")
+                dead_edges = (
+                    edges_now.join(F.broadcast(rm_a), "id_a", "left_semi")
+                    .unionByName(
+                        edges_now.join(F.broadcast(rm_b), "id_b",
+                                       "left_semi"))
+                    .select("id_a", "id_b").distinct()
+                )
+                frames = _pin_promote_frames(base, {
+                    "clusters_delta": result["delta"]
+                        .join(id_to_urim, "id").select("urim", "component"),
+                    "dead_edges": dead_edges,
+                    "removed_nids": removed_nids,
+                    "removed_urims": removed_urims,
+                })
+                base.merge("docs",
+                           delete_keys=frames["removed_nids"]
+                           .withColumnRenamed("id", "nid"))
+                base.merge("bands", delete_keys=frames["removed_nids"])
+                base.merge("verified_edges",
+                           delete_keys=frames["dead_edges"],
+                           on=["id_a", "id_b"])
+                base.merge("clusters", changes=frames["clusters_delta"],
+                           delete_keys=frames["removed_urims"]
+                           .select("urim"))
+            else:
+                purged_docs = base.read("docs").join(
+                    F.broadcast(removed_urims), "urim", "left_anti")
+                purged_bands = base.read("bands").join(
+                    F.broadcast(removed_nids.withColumnRenamed("id", "nid")),
+                    F.col("id") == F.col("nid"), "left_anti")
+                purged_edges = (
+                    base.read("verified_edges")
+                    .join(F.broadcast(removed_nids
+                                      .withColumnRenamed("id", "id_a")),
+                          "id_a", "left_anti")
+                    .join(F.broadcast(removed_nids
+                                      .withColumnRenamed("id", "id_b")),
+                          "id_b", "left_anti")
+                )
+                frames = _pin_promote_frames(base, {
+                    "docs": purged_docs,
+                    "bands": purged_bands,
+                    "verified_edges": purged_edges,
+                    "clusters": merged,
+                })
+                for stage_name in ("docs", "bands", "verified_edges",
+                                   "clusters"):
+                    base.write(frames[stage_name], stage_name)
 
     elif args.command == "stats":
         from pyspark.sql import functions as F

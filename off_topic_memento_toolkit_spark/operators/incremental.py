@@ -205,6 +205,7 @@ def incremental_components(
     new_edges: DataFrame,
     new_ids: DataFrame,
     cc_kwargs: dict | None = None,
+    with_delta: bool = False,
 ) -> DataFrame:
     """Fold verified delta edges into a prior (id, component) assignment.
 
@@ -218,7 +219,14 @@ def incremental_components(
     Returns the FULL updated assignment (base ∪ new).  The corpus-sized
     ``prior_assignments`` is touched by exactly one broadcast join against
     the O(touched-components) relabel map; the CC itself runs on the
-    contracted component graph, which is O(len(new_edges))."""
+    contracted component graph, which is O(len(new_edges)).
+
+    ``with_delta=True`` returns ``{"assignments": full, "delta": changed}``
+    where ``delta`` is ONLY the rows a row-level state merge must touch:
+    base rows whose label actually changed (prior component ∈ the relabel
+    map with a different merged label — found by the same broadcast join,
+    map-only over the corpus) plus every delta-batch row.  That is what
+    makes a promote O(changed) instead of a corpus rewrite."""
     prior_by_id = prior_assignments.select("id", "component")
 
     # contract: each endpoint → its prior component (itself when unknown,
@@ -280,7 +288,22 @@ def incremental_components(
             F.coalesce("_merged", F.col("id")).alias("component"),
         )
     )
-    return updated_base.unionByName(new_assign)
+    full = updated_base.unionByName(new_assign)
+    if not with_delta:
+        return full
+    # changed base rows: prior label is a contracted node whose merged
+    # label differs — same broadcast relabel map, map-only corpus pass
+    relabel_diff = relabel.filter(F.col("_node") != F.col("_merged"))
+    changed_base = (
+        prior_assignments.join(
+            F.broadcast(relabel_diff),
+            prior_assignments["component"] == relabel_diff["_node"], "inner")
+        .select(prior_assignments["id"], F.col("_merged").alias("component"))
+    )
+    # a re-ingested id's base row may ALSO relabel; it is already in
+    # changed_base — new_assign excludes known ids, so no double-listing
+    return {"assignments": full,
+            "delta": changed_base.unionByName(new_assign)}
 
 
 def incremental_remove(
@@ -289,6 +312,7 @@ def incremental_remove(
     removed_ids: DataFrame,
     broadcast_members: bool = True,
     cc_kwargs: dict | None = None,
+    with_delta: bool = False,
 ) -> DataFrame:
     """Takedown: delete documents from a deduped corpus and repair the
     affected clusters — without recomputing anything outside them.
@@ -349,7 +373,13 @@ def incremental_remove(
     )
     untouched = assignments.join(F.broadcast(touched), "component",
                                  "left_anti")
-    return untouched.unionByName(repaired)
+    full = untouched.unionByName(repaired)
+    if not with_delta:
+        return full
+    # the rows a row-level state merge must touch: the repaired members of
+    # the affected clusters (upserts; O(touched cluster sizes)) — deletions
+    # of the removed ids themselves are the caller's delete_keys
+    return {"assignments": full, "delta": repaired}
 
 
 def incremental_dedup_update(
@@ -367,6 +397,7 @@ def incremental_dedup_update(
     max_bucket_size: int = 64,
     broadcast_new_keys: bool = True,
     input_scan_expensive: bool = False,
+    with_delta: bool = False,
 ) -> dict:
     """One ingest increment end-to-end: new pages → signatures → delta
     candidate pairs → Jaccard verify → merged assignment.
@@ -489,16 +520,17 @@ def incremental_dedup_update(
 
     verified = stage("inc_verified", build_verified)
 
-    def build_assignments():
-        return incremental_components(
-            prior_assignments.select(
-                F.col("nid").alias("id"), "component"),
-            verified,
-            new_docs.select(F.col("nid").alias("id")),
-        ).select(F.col("id").alias("nid"), "component")
-
-    assignments = stage("inc_assignments", build_assignments)
-    return {
+    both = incremental_components(
+        prior_assignments.select(F.col("nid").alias("id"), "component"),
+        verified,
+        new_docs.select(F.col("nid").alias("id")),
+        with_delta=True,
+    )
+    assignments = stage(
+        "inc_assignments",
+        lambda: both["assignments"].select(F.col("id").alias("nid"),
+                                           "component"))
+    out = {
         "docs": new_docs,
         "bands": new_bands,
         "candidates": candidates,
@@ -506,3 +538,12 @@ def incremental_dedup_update(
         "assignments": assignments,
         "unpersist": unpersist,
     }
+    if with_delta:
+        # the rows a merge-based promote touches: changed base labels + the
+        # whole batch (O(delta), from the same broadcast relabel map);
+        # opt-in so a plain ingest doesn't pay the extra stage
+        out["assignments_delta"] = stage(
+            "inc_assignment_delta",
+            lambda: both["delta"].select(F.col("id").alias("nid"),
+                                         "component"))
+    return out

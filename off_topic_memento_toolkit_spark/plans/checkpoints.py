@@ -44,6 +44,19 @@ from pyspark.sql import functions as F
 # the parser must accept any width the formatter can produce
 _VDIR = re.compile(r"^v(\d{6,})$")
 
+# hash-bucket column for key-clustered stage layouts (enables the
+# partition-scoped merge path: an upsert/delete rewrites only the buckets
+# its keys hash into, never the corpus)
+BUCKET_COL = "_bucket"
+_LINEAGE_COLS = ("_partition_id", "_run_id", "_stage", BUCKET_COL)
+
+
+def _bucket_expr(bucket_by: list, num_buckets: int):
+    """Deterministic bucket id for a key — MUST be identical across
+    versions/runs or a merge would look for keys in the wrong buckets."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in bucket_by]),
+                  F.lit(num_buckets)).cast("int")
+
 
 def _with_lineage(df: DataFrame, run_id: str, stage: str) -> DataFrame:
     """The per-partition lineage columns every backend commits with."""
@@ -54,17 +67,22 @@ def _with_lineage(df: DataFrame, run_id: str, stage: str) -> DataFrame:
     )
 
 
-def _per_partition_counts(persisted: DataFrame) -> list:
+def _per_partition_counts(persisted: DataFrame, key: str = "_partition_id") -> list:
+    """Per-partition lineage counters.  For bucketed stages the unit of
+    lineage is the BUCKET (``key=BUCKET_COL``): bucket ids are stable across
+    versions, which is what lets a merged commit carry forward the counters
+    of buckets it never touched."""
     return [
-        {"partition_id": r._partition_id, "rows": r["count"]}
-        for r in persisted.groupBy("_partition_id").count().collect()
+        {"partition_id": r[key], "rows": r["count"]}
+        for r in persisted.groupBy(key).count().collect()
     ]
 
 
 def _build_marker(stage: str, run_id: str, version, data_path: str,
-                  per_partition: list) -> dict:
+                  per_partition: list, bucket_by: list | None = None,
+                  num_buckets: int | None = None) -> dict:
     """One marker schema for every backend — evolve it here, not per-store."""
-    return {
+    marker = {
         "stage": stage,
         "run_id": run_id,
         "version": version,
@@ -76,6 +94,10 @@ def _build_marker(stage: str, run_id: str, version, data_path: str,
         "committed_at_monotonic": time.monotonic_ns(),
         "committed_at_unix": time.time(),
     }
+    if bucket_by:
+        marker["bucket_by"] = list(bucket_by)
+        marker["num_buckets"] = num_buckets
+    return marker
 
 
 class CheckpointStore:
@@ -118,18 +140,40 @@ class CheckpointStore:
                          (_VDIR.match(n) for n in os.listdir(stage_dir)) if m]
         return max(existing) + 1
 
-    def write(self, df: DataFrame, stage: str) -> DataFrame:
+    def write(self, df: DataFrame, stage: str, bucket_by: list | None = None,
+              num_buckets: int = 32) -> DataFrame:
         """Snapshot-commit a stage: fresh version directory, per-partition
-        counters, then one atomic marker swing."""
+        counters, then one atomic marker swing.
+
+        ``bucket_by``: key columns for a hash-clustered layout
+        (``<stage>/vN/_bucket=K/``).  Bucketed stages support :meth:`merge`
+        — row-level upserts/deletes that rewrite only the touched buckets.
+        The clustering write shuffles once on the bucket id (that IS the
+        clustering); at corpus scale size ``num_buckets`` so a bucket is a
+        few GB (e.g. 2^12-2^16 buckets at 10^12 docs) and raise the file
+        count per bucket via spark.sql.shuffle.partitions."""
         version = self._next_version(stage)
         path = self._version_dir(stage, version)
-        _with_lineage(df, self.run_id, stage) \
-            .write.mode("errorifexists").parquet(path)
+        lineaged = _with_lineage(df, self.run_id, stage)
+        if bucket_by:
+            lineaged = lineaged.withColumn(
+                BUCKET_COL, _bucket_expr(bucket_by, num_buckets))
+            lineaged.repartition(num_buckets, BUCKET_COL) \
+                .write.mode("errorifexists").partitionBy(BUCKET_COL) \
+                .parquet(path)
+        else:
+            lineaged.write.mode("errorifexists").parquet(path)
 
         persisted = self.spark.read.parquet(path)
-        per_partition = _per_partition_counts(persisted)
+        per_partition = _per_partition_counts(
+            persisted, key=BUCKET_COL if bucket_by else "_partition_id")
         marker = _build_marker(stage, self.run_id, version, path,
-                               per_partition)
+                               per_partition, bucket_by=bucket_by,
+                               num_buckets=num_buckets if bucket_by else None)
+        self._commit(stage, path, marker)
+        return persisted.drop(*_LINEAGE_COLS)
+
+    def _commit(self, stage: str, path: str, marker: dict) -> None:
         # version info first (declares the directory fully written), then the
         # atomic marker swing — the commit point
         with open(os.path.join(path, "_info.json"), "w") as fh:
@@ -138,7 +182,121 @@ class CheckpointStore:
         with open(tmp, "w") as fh:
             json.dump(marker, fh, indent=2)
         os.replace(tmp, self._marker(stage))
-        return persisted.drop("_partition_id", "_run_id", "_stage")
+
+    def merge(self, stage: str, changes: DataFrame | None = None,
+              delete_keys: DataFrame | None = None,
+              on: list | None = None,
+              insert_only: bool = False) -> DataFrame:
+        """Row-level merge into a BUCKETED stage as a partition-scoped
+        rewrite: a new snapshot version where every bucket untouched by the
+        keys is HARDLINKED from the previous version (O(files) metadata, no
+        data movement) and only the buckets the changed/deleted keys hash
+        into are re-written.  The corrected promote cost at 10^12 docs:
+        O(touched buckets), not O(corpus).
+
+        - ``changes``: full-schema rows; rows whose ``on`` key exists are
+          REPLACED (upsert), unless ``insert_only`` — then only rows whose
+          key is absent are inserted (idempotent append; callers supply
+          duplicate-free changes).
+        - ``delete_keys``: rows with the ``on`` columns; matching rows are
+          deleted.
+        - ``on``: match key, default = the stage's ``bucket_by``.  Must
+          contain every ``bucket_by`` column (the rewrite locates keys by
+          their bucket).  Keys must be non-null.
+
+        Same atomicity as :meth:`write`: the marker swing is the commit
+        point; a crash mid-merge leaves an orphan version directory and the
+        previous snapshot intact.  Per-bucket lineage counters are carried
+        forward for untouched buckets and recomputed for rewritten ones."""
+        marker = self.marker(stage)
+        bucket_by = marker.get("bucket_by")
+        num_buckets = marker.get("num_buckets")
+        if not bucket_by:
+            raise ValueError(
+                f"stage {stage!r} is not bucketed — merge needs a layout "
+                f"written with write(..., bucket_by=...); use write() for "
+                f"a full rewrite")
+        on = list(on or bucket_by)
+        missing = [c for c in bucket_by if c not in on]
+        if missing:
+            raise ValueError(f"merge on={on} must include the bucket key "
+                             f"columns {bucket_by}")
+        prev_path = self._version_dir(stage, marker["version"])
+        version = self._next_version(stage)
+        path = self._version_dir(stage, version)
+
+        key_rows = None
+        for frame in (changes, delete_keys):
+            if frame is not None:
+                keys = frame.select(*bucket_by)
+                key_rows = keys if key_rows is None else key_rows.unionByName(keys)
+        touched = set()
+        if key_rows is not None:
+            touched = {
+                r.b for r in key_rows.select(
+                    _bucket_expr(bucket_by, num_buckets).alias("b"))
+                .distinct().collect()
+            }
+
+        # 1) hardlink every untouched bucket into the new version (same
+        # filesystem by construction — versions are siblings)
+        os.makedirs(path, exist_ok=True)
+        for entry in os.listdir(prev_path):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket_id = int(entry.split("=", 1)[1])
+            if bucket_id in touched:
+                continue
+            src_dir = os.path.join(prev_path, entry)
+            dst_dir = os.path.join(path, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for name in os.listdir(src_dir):
+                os.link(os.path.join(src_dir, name),
+                        os.path.join(dst_dir, name))
+
+        # 2) rewrite only the touched buckets (partition-pruned scan)
+        data_cols = [c for c in self.spark.read.parquet(prev_path).columns
+                     if c not in _LINEAGE_COLS]
+        if touched:
+            prev_touched = (
+                self.spark.read.parquet(prev_path)
+                .filter(F.col(BUCKET_COL).isin(*touched))
+                .select(*data_cols)
+            )
+            rewritten = prev_touched
+            if changes is not None and not insert_only:
+                rewritten = rewritten.join(
+                    F.broadcast(changes.select(*on).distinct()), on,
+                    "left_anti")
+            if delete_keys is not None:
+                rewritten = rewritten.join(
+                    F.broadcast(delete_keys.select(*on).distinct()), on,
+                    "left_anti")
+            if changes is not None:
+                incoming = changes.select(*data_cols)
+                if insert_only:
+                    incoming = incoming.join(
+                        prev_touched.select(*on).distinct(), on, "left_anti")
+                rewritten = rewritten.unionByName(incoming)
+            lineaged = _with_lineage(rewritten, self.run_id, stage) \
+                .withColumn(BUCKET_COL, _bucket_expr(bucket_by, num_buckets))
+            lineaged.repartition(max(len(touched), 1), BUCKET_COL) \
+                .write.mode("append").partitionBy(BUCKET_COL).parquet(path)
+
+        # 3) counters: fresh for rewritten buckets, carried for the rest
+        persisted = self.spark.read.parquet(path)
+        carried = [p for p in marker["per_partition_rows"]
+                   if p["partition_id"] not in touched]
+        fresh = []
+        if touched:
+            fresh = _per_partition_counts(
+                persisted.filter(F.col(BUCKET_COL).isin(*touched)),
+                key=BUCKET_COL)
+        new_marker = _build_marker(stage, self.run_id, version, path,
+                                   carried + fresh, bucket_by=bucket_by,
+                                   num_buckets=num_buckets)
+        self._commit(stage, path, new_marker)
+        return persisted.drop(*_LINEAGE_COLS)
 
     def read(self, stage: str, version: int | None = None) -> DataFrame:
         """The committed snapshot (or an explicit older version: time
@@ -154,7 +312,7 @@ class CheckpointStore:
             if version is None:  # legacy flat layout
                 return (
                     self.spark.read.parquet(self._stage_dir(stage))
-                    .drop("_partition_id", "_run_id", "_stage")
+                    .drop(*_LINEAGE_COLS)
                 )
             path = self._version_dir(stage, version)
         else:
@@ -162,10 +320,7 @@ class CheckpointStore:
             if not os.path.exists(os.path.join(path, "_info.json")):
                 raise FileNotFoundError(
                     f"stage {stage!r} has no committed version {version}")
-        return (
-            self.spark.read.parquet(path)
-            .drop("_partition_id", "_run_id", "_stage")
-        )
+        return self.spark.read.parquet(path).drop(*_LINEAGE_COLS)
 
     def marker(self, stage: str) -> dict:
         with open(self._marker(stage)) as fh:
@@ -195,12 +350,14 @@ class CheckpointStore:
                     removed.append(path)
         return removed
 
-    def run_stage(self, stage: str, build) -> DataFrame:
+    def run_stage(self, stage: str, build, bucket_by: list | None = None,
+                  num_buckets: int = 32) -> DataFrame:
         """Return the committed stage table, computing it only if missing —
         the resume contract: relaunch skips completed stages."""
         if self.is_committed(stage):
             return self.read(stage)
-        return self.write(build(), stage)
+        return self.write(build(), stage, bucket_by=bucket_by,
+                          num_buckets=num_buckets)
 
 
 # --------------------------------------------------------------------------
@@ -288,7 +445,8 @@ class IcebergCheckpointStore:
         return self.spark.catalog.tableExists(
             f"{self.catalog}.{self.namespace}.{stage}")
 
-    def write(self, df: DataFrame, stage: str) -> DataFrame:
+    def write(self, df: DataFrame, stage: str, bucket_by: list | None = None,
+              num_buckets: int = 32) -> DataFrame:
         table = self._table(stage)
         # stale-marker guard: REPLACE TABLE carries existing table properties
         # into the replacement metadata, so drop the old marker FIRST — a
@@ -301,13 +459,25 @@ class IcebergCheckpointStore:
             self.spark.sql(
                 f"ALTER TABLE {table} UNSET TBLPROPERTIES IF EXISTS "
                 f"('{self.MARKER_PROP}')")
-        _with_lineage(df, self.run_id, stage) \
-            .writeTo(table).using("iceberg").createOrReplace()
+        writer = _with_lineage(df, self.run_id, stage) \
+            .writeTo(table).using("iceberg")
+        if bucket_by:
+            # Iceberg's own hash-bucket partition transform: MERGE INTO on
+            # the key then rewrites only the touched buckets' data files
+            # (plus a metadata commit) — the O(changed) promote path
+            writer = writer.partitionedBy(F.bucket(num_buckets,
+                                                   F.col(bucket_by[0])))
+        writer.createOrReplace()
         persisted = self.spark.read.table(table)
         per_partition = _per_partition_counts(persisted)
         marker = _build_marker(stage, self.run_id,
                                self._current_snapshot(stage), table,
-                               per_partition)
+                               per_partition, bucket_by=bucket_by,
+                               num_buckets=num_buckets if bucket_by else None)
+        self._commit_marker(stage, marker)
+        return persisted.drop("_partition_id", "_run_id", "_stage")
+
+    def _commit_marker(self, stage: str, marker: dict) -> None:
         # base64: property values travel through a SQL string literal whose
         # escape processing is config-dependent — keep the payload in
         # [A-Za-z0-9+/=] so no dialect can corrupt it
@@ -315,8 +485,56 @@ class IcebergCheckpointStore:
             json.dumps(marker).encode("utf-8")).decode("ascii")
         # the commit point: one atomic metadata commit carrying the marker
         self.spark.sql(
-            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"ALTER TABLE {self._table(stage)} SET TBLPROPERTIES "
             f"('{self.MARKER_PROP}' = '{payload}')")
+
+    def merge(self, stage: str, changes: DataFrame | None = None,
+              delete_keys: DataFrame | None = None,
+              on: list | None = None,
+              insert_only: bool = False) -> DataFrame:
+        """Row-level merge as Iceberg ``MERGE INTO`` — same contract as the
+        parquet store's partition-scoped rewrite: upsert/insert-if-absent
+        ``changes`` and delete ``delete_keys``, touching O(changed) data
+        files (Iceberg rewrites only the files holding matched rows; with a
+        bucket(key) partition spec those are the touched buckets).
+
+        The marker is dropped before the data commits and re-set after —
+        a crash in between leaves the stage observably uncommitted, exactly
+        like the parquet backend's torn version directory."""
+        marker = self.marker(stage)
+        on = list(on or marker.get("bucket_by") or [])
+        if not on:
+            raise ValueError(
+                f"stage {stage!r} has no bucket_by and no explicit on= — "
+                f"merge needs a match key")
+        table = self._table(stage)
+        self.spark.sql(
+            f"ALTER TABLE {table} UNSET TBLPROPERTIES IF EXISTS "
+            f"('{self.MARKER_PROP}')")
+        cond = " AND ".join(f"t.`{c}` = s.`{c}`" for c in on)
+        if changes is not None:
+            view = f"_otmt_merge_src_{stage}"
+            _with_lineage(changes, self.run_id, stage) \
+                .createOrReplaceTempView(view)
+            clauses = "WHEN NOT MATCHED THEN INSERT *" if insert_only else \
+                ("WHEN MATCHED THEN UPDATE SET * "
+                 "WHEN NOT MATCHED THEN INSERT *")
+            self.spark.sql(f"MERGE INTO {table} t USING {view} s "
+                           f"ON {cond} {clauses}")
+            self.spark.catalog.dropTempView(view)
+        if delete_keys is not None:
+            view = f"_otmt_del_src_{stage}"
+            delete_keys.select(*on).distinct().createOrReplaceTempView(view)
+            self.spark.sql(f"MERGE INTO {table} t USING {view} s "
+                           f"ON {cond} WHEN MATCHED THEN DELETE")
+            self.spark.catalog.dropTempView(view)
+        persisted = self.spark.read.table(table)
+        per_partition = _per_partition_counts(persisted)
+        new_marker = _build_marker(
+            stage, self.run_id, self._current_snapshot(stage), table,
+            per_partition, bucket_by=marker.get("bucket_by"),
+            num_buckets=marker.get("num_buckets"))
+        self._commit_marker(stage, new_marker)
         return persisted.drop("_partition_id", "_run_id", "_stage")
 
     def versions(self, stage: str) -> list:
@@ -342,7 +560,9 @@ class IcebergCheckpointStore:
             f"retain_last => {max(1, keep)})")
         return sorted(before - set(self.versions(stage)))
 
-    def run_stage(self, stage: str, build) -> DataFrame:
+    def run_stage(self, stage: str, build, bucket_by: list | None = None,
+                  num_buckets: int = 32) -> DataFrame:
         if self.is_committed(stage):
             return self.read(stage)
-        return self.write(build(), stage)
+        return self.write(build(), stage, bucket_by=bucket_by,
+                          num_buckets=num_buckets)

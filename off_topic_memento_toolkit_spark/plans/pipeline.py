@@ -124,17 +124,34 @@ def dedup_pipeline(
     min_lcs_ratio: float = 0.6,
     cc_small_graph_threshold: int = 1 << 20,
     input_scan_expensive: bool = False,
+    state_buckets: int = 32,
 ) -> DataFrame:
     """Near-duplicate clusters at scale: MinHash-LSH (+ SimHash Hamming-ball)
     candidates → verification → large-star/small-star CC.
 
     ``store``: optional :class:`..plans.checkpoints.CheckpointStore`; when
-    given, each stage becomes a committed, resumable table.
+    given, each stage becomes a committed, resumable table.  The four
+    corpus-state stages an ingest/takedown promote later mutates
+    (docs/bands/verified_edges/clusters) are written hash-BUCKETED on their
+    key (``state_buckets`` buckets) so the promote runs as a row-level
+    ``merge`` — rewriting only the touched buckets, never the corpus.  At
+    10^12 docs size ``state_buckets`` so one bucket is a few GB.
     """
+    # key-clustered layouts for the mutable corpus state; intermediate
+    # stages (candidates, CC iterations) are write-once → unbucketed
+    bucket_specs = {
+        "docs": ["nid"],
+        "bands": ["id"],
+        "verified_edges": ["id_a"],
+        "clusters": ["urim"],
+    }
+
     def stage(name, build):
         if store is None:
             return build()
-        return store.run_stage(name, build)
+        return store.run_stage(name, build,
+                               bucket_by=bucket_specs.get(name),
+                               num_buckets=state_buckets)
 
     def build_docs():
         # `nid` — deterministic 64-bit surrogate id used through every

@@ -748,8 +748,9 @@ def q_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly what an oracle should be.
 SQL_DEDUP_CC = f"""
 WITH RECURSIVE
-d AS (SELECT nid, urim FROM {_mat('dedup_cc/docs/v*')}),
-e0 AS (SELECT id_a, id_b FROM {_mat('dedup_cc/verified_edges/v*')}
+d AS (SELECT nid, urim FROM {_mat('dedup_cc/docs/v*/_bucket=*')}),
+e0 AS (SELECT id_a, id_b
+       FROM {_mat('dedup_cc/verified_edges/v*/_bucket=*')}
        WHERE id_a <> id_b),
 sym AS (SELECT id_a AS src, id_b AS dst FROM e0
         UNION SELECT id_b, id_a FROM e0),

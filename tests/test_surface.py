@@ -992,6 +992,30 @@ def test_iceberg_checkpoint_contract(spark, tmp_path):
     store2.expire_snapshots("stage_a", keep=1)
     assert store2.read("stage_a").count() == 3
 
+    # row-level merge (MERGE INTO): bucketed write, upsert + insert-if-
+    # absent + delete — same contract the parquet backend proves with its
+    # partition-scoped rewrite (tests/test_merge_promote.py)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, val string")
+    store2.write(base, "stage_m", bucket_by=["k"], num_buckets=4)
+    assert store2.marker("stage_m")["bucket_by"] == ["k"]
+    changes = spark.createDataFrame(
+        [(3, "UPDATED"), (100, "NEW")], "k long, val string")
+    deletes = spark.createDataFrame([(7,)], "k long")
+    merged = store2.merge("stage_m", changes=changes, delete_keys=deletes)
+    got = {(r.k, r.val) for r in merged.collect()}
+    expected = {(i, f"v{i}") for i in range(20) if i not in (3, 7)}
+    expected |= {(3, "UPDATED"), (100, "NEW")}
+    assert got == expected
+    assert store2.marker("stage_m")["rows"] == len(expected)
+    ins = store2.merge(
+        "stage_m",
+        changes=spark.createDataFrame([(3, "SKIP"), (200, "NEW2")],
+                                      "k long, val string"),
+        insert_only=True)
+    got2 = {(r.k, r.val) for r in ins.collect()}
+    assert got2 == expected | {(200, "NEW2")}  # key 3 present → skipped
+
 
 def test_synthesize_bmp_media_fixture(spark):
     """The battery's media fixture generator: deterministic payloads
