@@ -828,11 +828,17 @@ def main(argv=None, spark=None):
         query.awaitTermination()
 
     elif args.command == "story":
+        from .operators.curation import ranking_pins_scope
         from .operators.measures import memento_metadata
         pages, _ = _read_pages(spark, args.input)
         pages = _apply_consider(spark, pages, args.consider)
-        story_pipeline(memento_metadata(pages)) \
-            .write.mode("overwrite").parquet(args.output)
+        # build + consume inside one owner scope: the ranking layout pinned
+        # by slice_by_datetime is released once the write materializes, so
+        # a long-lived session running many story batches never accumulates
+        # pinned partitions
+        with ranking_pins_scope():
+            story_pipeline(memento_metadata(pages)) \
+                .write.mode("overwrite").parquet(args.output)
 
     if owns_session:
         spark.stop()

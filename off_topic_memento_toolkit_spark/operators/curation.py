@@ -21,6 +21,8 @@ Parity quirks preserved deliberately:
   (slice, cluster) with ties broken by descending (score, urim).
 """
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -29,23 +31,59 @@ from pyspark.sql import functions as F
 # eagerly on the next call: a prior ranking may still be un-consumed, and
 # releasing its pin would let the offsets and output branches recompute the
 # range layout independently (divergent boundaries under a nondeterministic
-# upstream row order ⇒ silently wrong positions)
+# upstream row order ⇒ silently wrong positions).  Pipelines that OWN the
+# full build→consume window should use :func:`ranking_pins_scope` instead,
+# which releases its generation's pins on exit and never touches this list.
 _PERSISTED_RANGED: list = []
 
+# stack of active owner scopes; the innermost one adopts new pins
+_ACTIVE_PIN_SCOPES: list = []
 
-def release_global_ranking_caches() -> int:
-    """Unpersist every range layout pinned by :func:`with_global_position`.
-    Call between pipeline generations in a long-lived session (or use
-    ``spark.catalog.clearCache()``); returns the number released.  Only safe
-    once the rankings built so far have been consumed."""
+
+def _register_ranking_pin(df) -> None:
+    if _ACTIVE_PIN_SCOPES:
+        _ACTIVE_PIN_SCOPES[-1].append(df)
+    else:
+        _PERSISTED_RANGED.append(df)
+
+
+def _release_pins(pins: list) -> int:
     released = 0
-    while _PERSISTED_RANGED:
+    while pins:
         try:
-            _PERSISTED_RANGED.pop().unpersist(False)
+            pins.pop().unpersist(False)
             released += 1
         except Exception:  # noqa: BLE001 — session already stopped
             pass
     return released
+
+
+@contextmanager
+def ranking_pins_scope():
+    """Owner-scoped release of ranking-layout pins: every layout pinned by
+    :func:`with_global_position` inside the ``with`` block is unpersisted on
+    exit, instead of accumulating in the process-wide registry.  The caller
+    must CONSUME the ranking (run its actions) inside the block — exiting
+    releases the pin, and a later action would rebuild the layout
+    independently per branch (the divergence hazard the pin exists for).
+    Long-lived sessions running one curation batch per iteration hold at
+    most the live generation's pin this way."""
+    pins: list = []
+    _ACTIVE_PIN_SCOPES.append(pins)
+    try:
+        yield pins
+    finally:
+        _ACTIVE_PIN_SCOPES.remove(pins)
+        _release_pins(pins)
+
+
+def release_global_ranking_caches() -> int:
+    """Unpersist every range layout pinned by :func:`with_global_position`
+    outside any :func:`ranking_pins_scope`.  Call between pipeline
+    generations in a long-lived session (or use
+    ``spark.catalog.clearCache()``); returns the number released.  Only safe
+    once the rankings built so far have been consumed."""
+    return _release_pins(_PERSISTED_RANGED)
 
 
 def consider_only(df: DataFrame, consideration: DataFrame, key: str = "urim") -> DataFrame:
@@ -129,16 +167,24 @@ def with_global_position(df: DataFrame, order_cols,
     # (verified: 2 exchanges without it), and two independent executions of
     # repartitionByRange may sample different boundaries when the upstream
     # row order is nondeterministic — the pin is what makes both branches
-    # read ONE layout.  Pinned layouts are tracked for explicit release
-    # (release_global_ranking_caches / clearCache); they are deliberately
-    # NOT released on the next call, since an earlier ranking may not have
-    # been consumed yet.
-    _PERSISTED_RANGED.append(ranged)
+    # read ONE layout.  Pins register to the innermost ranking_pins_scope
+    # (owner releases on exit) or, scope-less, to the process-wide registry
+    # (release_global_ranking_caches / clearCache); the registry is
+    # deliberately NOT drained on the next call, since an earlier ranking
+    # may not have been consumed yet.
+    _register_ranking_pin(ranged)
     local = F.monotonically_increasing_id()
     with_mid = (
         ranged.withColumn("_pid", F.shiftrightunsigned(local, 33))
         .withColumn("_local", local.bitwiseAND(F.lit((1 << 33) - 1)))
     )
+    # NOTE: this unpartitioned Window triggers Spark's "No Partition
+    # Defined ... moving all data to a single partition" WARNING at
+    # runtime.  It is benign BY CONSTRUCTION — do not "fix" it: the window
+    # runs on the OFFSETS side only, which is one row per range partition
+    # (#shuffle-partitions rows, already coalesced to one task two lines
+    # down), never on the data.  The no-single-partition-exchange claim for
+    # the DATA path is asserted by tests/test_plan_shape.py.
     by_pid = Window.orderBy("_pid")
     offsets = (
         with_mid.groupBy("_pid").agg(F.count("*").alias("_cnt"))

@@ -194,3 +194,51 @@ def test_global_position_cache_pool_release(spark):
     assert not _PERSISTED_RANGED
     # released results survive (recompute, not truncation)
     assert sorted(r.pos for r in first.collect()) == list(range(200))
+
+
+def test_ranking_pins_scope_owner_release(spark):
+    """Owner-scoped pins: inside ranking_pins_scope, layouts pinned by
+    with_global_position never reach the process-wide registry and are
+    unpersisted on scope exit — repeated curation batches in a long-lived
+    session hold at most the live generation's pin.  Results computed and
+    consumed inside the scope are correct, scopes nest, and the scope-less
+    registry contract is untouched."""
+    from pyspark.sql import functions as F
+
+    from off_topic_memento_toolkit_spark.operators.curation import (
+        _PERSISTED_RANGED,
+        ranking_pins_scope,
+        release_global_ranking_caches,
+        with_global_position,
+    )
+
+    def frame(n, tag):
+        return spark.range(n).select(
+            F.concat(F.lit(tag),
+                     F.format_string("%04d", (F.col("id") * 37) % n))
+            .alias("k"))
+
+    release_global_ranking_caches()
+    jsc = spark.sparkContext._jsc.sc()
+    persisted_before = jsc.getPersistentRDDs().size()
+
+    for i in range(3):
+        with ranking_pins_scope() as pins:
+            out = with_global_position(frame(150, f"g{i}"), ["k"],
+                                       pos_col="pos")
+            # consume INSIDE the scope (the owner contract)
+            assert sorted(r.pos for r in out.collect()) == list(range(150))
+            assert len(pins) == 1  # at most the live generation's pin
+            assert not _PERSISTED_RANGED  # nothing leaked to the registry
+        assert not pins  # released on exit
+    # storage actually freed (relative: the shared session may hold other
+    # tests' persisted frames)
+    assert jsc.getPersistentRDDs().size() == persisted_before
+
+    # nested scopes: the innermost adopts the pin
+    with ranking_pins_scope() as outer:
+        with ranking_pins_scope() as inner:
+            with_global_position(frame(10, "n"), ["k"], pos_col="pos")
+            assert len(inner) == 1 and not outer
+        assert not inner
+    assert not _PERSISTED_RANGED
