@@ -341,3 +341,59 @@ def test_cli_ingest_requires_base_stages(spark, tmp_path):
         main(["ingest", "-i", f"pages:{src}",
               "--base-checkpoint-dir", str(tmp_path / "empty"),
               "-o", str(tmp_path / "out")], spark=spark)
+
+
+def test_stream_candidates_with_periodic_batch_merge_compose(spark,
+                                                             tmp_path):
+    """The composed lifecycle (streaming/ingest.py stream-static channel +
+    operators/incremental.py batch merge): a stream drains candidates for
+    each delta while a periodic batch `ingest --promote` folds the delta in
+    and promotes the corpus state.  The second stream round must join
+    against the PROMOTED bands (its base endpoints include round-1 docs),
+    and the final clusters equal a batch-only rerun over everything."""
+    pages = pages_from_documents(spark, SF_DIR)
+    hour = F.unix_timestamp("warc_ts") / 3600
+    base_pages = pages.filter(hour % 5 >= 2)
+    delta1 = pages.filter(hour % 5 == 0)
+    delta2 = pages.filter(hour % 5 == 1)
+    srcs = {}
+    for name, df in [("b", base_pages), ("d1", delta1), ("d2", delta2)]:
+        srcs[name] = str(tmp_path / name)
+        df.write.parquet(srcs[name])
+
+    ck = str(tmp_path / "ck")
+    main(["dedup", "-i", f"pages:{srcs['b']}", "-o", str(tmp_path / "c0"),
+          "--checkpoint-dir", ck], spark=spark)
+    store = CheckpointStore(spark, ck)
+
+    def drain_and_ingest(round_id, src):
+        cands = str(tmp_path / f"cands{round_id}")
+        main(["stream", "-i", src, "-o", cands,
+              "--checkpoint", str(tmp_path / f"sck{round_id}"),
+              "--mode", "candidates", "--base-checkpoint-dir", ck,
+              "--once"], spark=spark)
+        main(["ingest", "-i", f"pages:{src}", "--base-checkpoint-dir", ck,
+              "-o", str(tmp_path / f"m{round_id}"),
+              "--checkpoint-dir", str(tmp_path / f"ick{round_id}"),
+              "--promote"], spark=spark)
+        return spark.read.parquet(cands)
+
+    cands1 = drain_and_ingest(1, srcs["d1"])
+    assert cands1.count() > 0
+    assert store.marker("clusters")["version"] == 2  # promote landed
+
+    cands2 = drain_and_ingest(2, srcs["d2"])
+    assert store.marker("clusters")["version"] == 3
+
+    # the second stream joined the PROMOTED corpus: every base endpoint it
+    # emitted exists in the promoted docs table (which grew by delta 1)
+    base2_endpoints = {r.id_base for r in cands2.collect()}
+    all_base_nids = {r.nid for r in store.read("docs")
+                     .select("nid").collect()}
+    assert base2_endpoints <= all_base_nids
+    assert store.marker("docs")["rows"] == pages.count()
+
+    # convergence: composed lifecycle == batch-only rerun over everything
+    got = _clusters(spark.read.parquet(str(tmp_path / "m2")))
+    want = _clusters(dedup_pipeline(pages))
+    assert got == want
