@@ -19,12 +19,22 @@ MEASURES_10 = ("bytecount", "wordcount", "jaccard", "sorensen",
 MEASURES_WARM = ("wordcount", "cosine")
 
 
-def build_pages(spark, sf_dir: str, replicate: int, rep_start: int = 0):
+def build_pages(spark, sf_dir: str, replicate: int, rep_start: int = 0,
+                dup_fraction: float = 1.0):
     """``replicate`` perturbed copies of the sf documents table as pages —
     distinct urls AND distinct content (exact replicas would make every
     page a clique member and the dedup stage quadratic in the factor);
     64 input partitions, persisted.  ``rep_start`` offsets the replica ids
-    (disjoint url/content space for a separate delta batch)."""
+    (disjoint url/content space for a separate delta batch).
+
+    NOTE on dup structure: a tail marker keeps replicas non-IDENTICAL but
+    they remain LSH near-duplicates of each other (5-word shingle jaccard
+    ≈ 0.9), so the default corpus puts EVERY page in a ``replicate``-member
+    near-dup clique — pair volume ∝ replicate²/2, an adversarial worst
+    case ~30x a realistic crawl's.  ``dup_fraction`` < 1 salts the other
+    replicas with a per-replica token every few words (breaking every
+    shingle window → jaccard ≈ 0 across them), leaving only that fraction
+    of each doc's replicas in cliques — the realistic-dup-rate corpus."""
     def one(r):
         docs = spark.read.parquet(sf_dir + "/documents.parquet")
         if r > 0:
@@ -32,6 +42,14 @@ def build_pages(spark, sf_dir: str, replicate: int, rep_start: int = 0):
                 "text",
                 F.concat(F.col("text"), F.lit(f" replica marker {r} "),
                          (F.col("doc_id") % 97).cast("string")))
+        if r % 100 >= int(dup_fraction * 100):
+            # per-replica salt token inside every 4-word window: no
+            # 5-shingle survives unsalted, so this replica near-dups
+            # with nothing
+            docs = docs.withColumn(
+                "text",
+                F.regexp_replace(
+                    F.col("text"), r"((\S+\s+){4})", f"$1uniq{r}salt "))
         return docs.select(
             F.concat(F.lit(f"http://rep{r}.docs.example/site"),
                      (F.col("doc_id") % 50).cast("string")).alias("url"),

@@ -103,14 +103,23 @@ def main():
         f"{', '.join(str(s) for s in cells['single'])} | "
         f"{best['single']} |",
         "",
-        f"Reading: the single-partition path is "
-        f"{report['single_over_distributed']}x the distributed one at "
-        "this (tiny) scale — the delta IS the two-phase ranking's "
-        "constant overhead, available to interactive small-collection "
-        "users via the config gate.  The DEFAULT stays `distributed`: "
-        "the gate's plan funnels the data through one task, which is "
-        "precisely the shape the plan-shape test forbids at corpus "
-        "scale, and the overhead amortizes to noise beyond ~10^5 rows.",
+        ("Reading: the DISTRIBUTED path wins even at this tiny scale "
+         f"(single-partition runs {report['single_over_distributed']}x "
+         "the distributed best) — the two-phase ranking's constant "
+         "overhead is already amortized at 5k rows, so the round-4 "
+         "driver reading of 4.10s was machine mode, not plan cost.  "
+         "The default stays `distributed`; the gate remains only as an "
+         "explicit interactive escape hatch."
+         if report["single_over_distributed"] <= 1.0 else
+         f"Reading: the single-partition path is "
+         f"{report['single_over_distributed']}x faster at this (tiny) "
+         "scale — the delta is the two-phase ranking's constant "
+         "overhead, available to interactive small-collection users "
+         "via the config gate.  The DEFAULT stays `distributed`: the "
+         "gate's plan funnels the data through one task, which is "
+         "precisely the shape the plan-shape test forbids at corpus "
+         "scale, and the overhead amortizes to noise beyond ~10^5 "
+         "rows."),
     ]
     update("\n".join(lines))
     print("BENCH.md curation-ab block updated")

@@ -300,7 +300,8 @@ def main():
     if os.path.exists(bench_path):
         with open(bench_path) as fh:
             old = fh.read()
-        for tag in ("submit-scaling", "data-scaling", "increment-bench"):
+        for tag in ("submit-scaling", "data-scaling", "increment-bench",
+                    "curation-ab", "dedup-mechanism"):
             begin, end = f"<!-- {tag}:begin -->", f"<!-- {tag}:end -->"
             if begin in old and end in old:
                 submit_block += \

@@ -242,3 +242,30 @@ def test_ranking_pins_scope_owner_release(spark):
             assert len(inner) == 1 and not outer
         assert not inner
     assert not _PERSISTED_RANGED
+
+
+def test_ranking_mode_single_equals_distributed(spark):
+    """The spark.otmt.ranking.mode=single fast path (one row_number window,
+    small-scale interactive gate) produces exactly the distributed two-phase
+    ranking's positions and total column."""
+    from pyspark.sql import functions as F
+
+    from off_topic_memento_toolkit_spark.operators.curation import (
+        with_global_position,
+    )
+
+    df = spark.range(500).select(
+        F.format_string("k%04d", (F.col("id") * 73) % 500).alias("k"))
+    want = {(r.k, r.pos, r.n) for r in with_global_position(
+        df, ["k"], pos_col="pos", total_col="n").collect()}
+    spark.conf.set("spark.otmt.ranking.mode", "single")
+    try:
+        got_df = with_global_position(df, ["k"], pos_col="pos",
+                                      total_col="n")
+        got = {(r.k, r.pos, r.n) for r in got_df.collect()}
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.otmt.ranking.mode")
+    assert got == want and len(got) == 500
+    # and it is genuinely the one-window plan: no range exchange
+    assert "rangepartitioning" not in plan.lower()
