@@ -73,7 +73,21 @@ def candidate_pairs_from_buckets(
     array, so filtering after the collect would let a single degenerate
     10^7-member bucket OOM its reducer at 100 TB.  The window and the groupBy
     share the same hash partitioning, so this still compiles to ONE exchange
-    (enforced by tests/test_plan_shape.py).
+    on the band table (enforced by tests/test_plan_shape.py).
+
+    Expand-late: a true near-dup pair collides in MANY bands (a jaccard-0.9
+    pair hits ~half of 32 bands), so the same member set reappears as a
+    bucket band after band.  Expanding every bucket and deduping PAIRS
+    multiplies the heaviest stage's row count by that band-duplication
+    factor (measured ~29x on a clique corpus: 79M expanded rows for 2.7M
+    distinct pairs).  Instead the member LISTS are sorted and deduped first
+    — one exchange over #buckets short-array rows, strictly smaller than
+    the band table itself — and only distinct member sets expand to pairs.
+    The produced pair set is identical (pairs of a bucket depend only on
+    its member set); the final pair-distinct still collapses overlapping
+    but non-identical buckets.  Measured 8→32-thread efficiency of the
+    dedup stage on the adversarial all-clique corpus: 0.14 → ≥0.5 raw
+    (BENCH.md mechanism section).
     """
     from pyspark.sql import Window
 
@@ -83,8 +97,9 @@ def candidate_pairs_from_buckets(
         (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)).drop("_n")
     buckets = bounded_rows.groupBy("band", "band_hash").agg(
         F.collect_list("id").alias("ids"))
+    member_sets = buckets.select(F.array_sort("ids").alias("ids")).distinct()
     return (
-        buckets.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
+        member_sets.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
         .select(
             F.least("p.u", "p.v").alias("id_a"),
             F.greatest("p.u", "p.v").alias("id_b"),
@@ -157,8 +172,12 @@ def simhash_candidate_pairs(
     grouping (exhaustive when max_hamming ≤ chunks-1 by pigeonhole).
 
     Same one-shuffle collect+expand shape as the MinHash path (incl. the
-    spill-safe window-count size gate BEFORE the collect); the exact
-    ``bit_count`` verify runs on the expanded pairs, all JVM-side."""
+    spill-safe window-count size gate BEFORE the collect, and the same
+    expand-late member-set dedup — a pair within hamming ≤ chunks-1 can
+    collide on up to ``chunks`` slices, so deduping the sorted member lists
+    before expansion divides the expanded row count by that duplication);
+    the exact ``bit_count`` verify runs on the expanded pairs, all
+    JVM-side."""
     from pyspark.sql import Window
 
     table = simhash_chunk_table(df, id_col, simhash_col, chunks)
@@ -168,6 +187,8 @@ def simhash_candidate_pairs(
         (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)).drop("_n")
     buckets = bounded_rows.groupBy("chunk", "chunk_value").agg(
         F.collect_list(F.struct("id", "simhash")).alias("members"))
+    buckets = buckets.select(
+        F.array_sort("members").alias("members")).distinct()
     expand = (
         "flatten(transform(members, (x, i) -> "
         "transform(slice(members, i + 2, size(members) - i - 1), "

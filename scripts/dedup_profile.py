@@ -64,11 +64,37 @@ bands = minhash_band_table(docs, id_col="nid", tokens_col="tokens").persist()
 bands.count()
 timings["bands"] = round(time.time() - start, 2)
 
+import urllib.request
+
+def stage_ids():
+    url = (spark.sparkContext.uiWebUrl + "/api/v1/applications/"
+           + spark.sparkContext.applicationId + "/stages")
+    return {{s["stageId"]: s for s in json.load(urllib.request.urlopen(url))}}
+
+before = set(stage_ids())
 start = time.time()
 noop_write(candidate_pairs_from_buckets(bands))
 timings["pairs"] = round(time.time() - start, 2)
 
-print("RESULT " + json.dumps({{"cpus": cpus, "timings": timings}}))
+# per-stage runtime metrics for the pairs phase only: is the 32-thread
+# anti-scaling CPU inflation accompanied by GC-pause inflation?
+phase_stages = {{sid: s for sid, s in stage_ids().items()
+                if sid not in before and s["status"] == "COMPLETE"}}
+metrics = {{
+    "run_s": round(sum(s["executorRunTime"] for s in
+                       phase_stages.values()) / 1e3, 1),
+    "cpu_s": round(sum(s["executorCpuTime"] for s in
+                       phase_stages.values()) / 1e9, 1),
+    "gc_s": round(sum(s.get("jvmGcTime", 0) for s in
+                      phase_stages.values()) / 1e3, 1),
+    "shuffle_write_mb": round(sum(s["shuffleWriteBytes"] for s in
+                                  phase_stages.values()) / 1e6, 1),
+    "spill_mb": round(sum(s.get("memoryBytesSpilled", 0) for s in
+                          phase_stages.values()) / 1e6, 1),
+}}
+
+print("RESULT " + json.dumps({{"cpus": cpus, "timings": timings,
+                               "pairs_metrics": metrics}}))
 spark.stop()
 """
 
