@@ -39,7 +39,8 @@ from bench_workload import build_pages, noop_write
 
 cpus = {cpus}
 spark = get_spark(f"dedup-profile-{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=128)
+                  shuffle_partitions=128,
+                  extra_conf={{"spark.ui.enabled": "true"}})
 spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -67,7 +68,10 @@ timings["bands"] = round(time.time() - start, 2)
 import urllib.request
 
 def stage_ids():
-    url = (spark.sparkContext.uiWebUrl + "/api/v1/applications/"
+    base = spark.sparkContext.uiWebUrl
+    if base is None:  # UI unavailable: timings still valid, metrics empty
+        return {{}}
+    url = (base + "/api/v1/applications/"
            + spark.sparkContext.applicationId + "/stages")
     return {{s["stageId"]: s for s in json.load(urllib.request.urlopen(url))}}
 
