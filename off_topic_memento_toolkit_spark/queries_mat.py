@@ -38,6 +38,21 @@ from pyspark.sql import functions as F
 # so concurrent gate runs never clobber each other.
 MAT_ROOT = os.environ.get("OTMT_MAT_ROOT", "/tmp/otmt_oracle_mat")
 
+# Deterministic pair-domain sample for the LCS entry at LARGE oracle SFs:
+# the SQL twin materializes the len_a x len_b cell grid per pair, so its
+# cost is O(pairs * grid) — fine at the driver's sf0.01 (tens of pairs),
+# infeasible at sf1 (250k pairs ≈ 25e9 cells).  When set to a hex prefix
+# (e.g. "00" → 1/256), BOTH dialects keep only pairs whose
+# md5(id_a || '|' || id_b) starts with it — the same rows on both sides,
+# so the hash check stays exact over the sampled domain.  Default "" =
+# no sampling (driver behavior unchanged).  Read at import time, like
+# OTMT_MAT_ROOT, because the SQL twins are rendered as module constants.
+LCS_SAMPLE_PREFIX = os.environ.get("OTMT_ORACLE_LCS_SAMPLE", "")
+if not all(c in "0123456789abcdef" for c in LCS_SAMPLE_PREFIX):
+    raise ValueError(
+        "OTMT_ORACLE_LCS_SAMPLE must be a lowercase hex prefix, got "
+        f"{LCS_SAMPLE_PREFIX!r}")
+
 
 def materialization_enabled() -> bool:
     return os.environ.get("OTMT_MATERIALIZE", "1") != "0"
@@ -581,6 +596,10 @@ def q_verified_dup_pairs_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_la") * F.col("_lb") <= 4_000_000)
         .select("id_a", "id_b")
     )
+    if LCS_SAMPLE_PREFIX:
+        capped = capped.filter(
+            F.md5(F.concat_ws("|", "id_a", "id_b").cast("binary"))
+            .startswith(LCS_SAMPLE_PREFIX))
     verified = verified_pairs_lcs(capped, docs_rb, id_col="id",
                                   text_col="text", min_ratio=0.6)
     return verified.withColumn("lcs_ratio", F.round("lcs_ratio", 6))
@@ -595,6 +614,8 @@ p AS (
          a.text AS ta, b.text AS tb
   FROM c JOIN d a ON c.id_a = a.id JOIN d b ON c.id_b = b.id
   WHERE length(a.text) * length(b.text) <= 4000000
+    {"AND md5(c.id_a || '|' || c.id_b) LIKE '" + LCS_SAMPLE_PREFIX + "%'"
+     if LCS_SAMPLE_PREFIX else ""}
 ),
 ia AS (SELECT pid, ta, unnest(range(1, length(ta) + 1)) AS i FROM p),
 jb AS (SELECT pid, tb, unnest(range(1, length(tb) + 1)) AS j FROM p),

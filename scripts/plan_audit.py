@@ -56,6 +56,7 @@ def main():
         "streaming_dedup_batch": mat["streaming_dedup_batch"],
         "verified_dup_pairs": mat["verified_dup_pairs"],
         "embedding_near_dups": mat["embedding_near_dups"],
+        "multimodal_bmp_topk": mat["multimodal_bmp_topk"],
         "tpch_pricing_summary": make_sql_query("tpch_pricing_summary"),
     }
     notes = {
@@ -90,6 +91,10 @@ def main():
             "LSH candidates -> Arrow Jaccard verify on pair payload joins."),
         "embedding_near_dups": (
             "SRP buckets, spill-safe size gate, collect+expand, no self-join."),
+        "multimodal_bmp_topk": (
+            "BMP synth+decode+feature in partition-preserving mapInPandas "
+            "(no exchange until the ANN join); brute top-k with the query "
+            "side broadcast."),
         "tpch_pricing_summary": "scan→partial agg→exchange→final agg.",
     }
 

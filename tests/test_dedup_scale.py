@@ -358,3 +358,49 @@ def test_minhash_lsh_s_curve_calibration(spark):
     assert hit_rate[0.7] == 1.0, hit_rate
     assert hit_rate[0.5] >= 0.9, hit_rate
     assert hit_rate[0.1] <= 0.25, hit_rate
+
+
+def test_lcs_sample_predicate_cross_dialect(spark):
+    """OTMT_ORACLE_LCS_SAMPLE keeps the SAME pairs in both dialects: the
+    Spark filter (md5 over the utf8 bytes of 'id_a|id_b') and the DuckDB
+    twin (md5(id_a || '|' || id_b) LIKE 'pfx%') must agree row-for-row —
+    pinned here against hashlib, the common ground truth."""
+    import hashlib
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    pairs = [(f"urim-{i}", f"urim-{j}") for i in range(8) for j in range(8)]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in df.filter(
+            F.md5(F.concat_ws("|", "id_a", "id_b").cast("binary"))
+            .startswith("0")).collect()
+    }
+    expected = {
+        (a, b) for a, b in pairs
+        if hashlib.md5(f"{a}|{b}".encode()).hexdigest().startswith("0")
+    }
+    assert got == expected and expected  # non-degenerate sample
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (id_a VARCHAR, id_b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    duck = set(con.execute(
+        "SELECT id_a, id_b FROM p WHERE md5(id_a || '|' || id_b) "
+        "LIKE '0%'").fetchall())
+    assert duck == expected
+
+
+def test_lcs_sample_prefix_validated(monkeypatch):
+    import importlib
+
+    import off_topic_memento_toolkit_spark.queries_mat as qm
+
+    monkeypatch.setenv("OTMT_ORACLE_LCS_SAMPLE", "0'; DROP TABLE x--")
+    try:
+        with __import__("pytest").raises(ValueError):
+            importlib.reload(qm)
+    finally:
+        monkeypatch.delenv("OTMT_ORACLE_LCS_SAMPLE")
+        importlib.reload(qm)
