@@ -53,6 +53,18 @@ if not all(c in "0123456789abcdef" for c in LCS_SAMPLE_PREFIX):
         "OTMT_ORACLE_LCS_SAMPLE must be a lowercase hex prefix, got "
         f"{LCS_SAMPLE_PREFIX!r}")
 
+# SRP plane count for the embedding near-dup entry.  2^planes is the bucket
+# count; the default 6 matches the driver's sf0.01 (200 vectors).  At sf1
+# (20k vectors) 64 buckets ALL overflow the 64-member hot-bucket cap and the
+# entry goes vacuous (0 = 0) — exactly the observable-drop semantics the cap
+# is designed for, but a weak check; large-SF sweeps raise this (e.g. 12 →
+# 4096 buckets).  Dialect symmetry is automatic: the SQL twin re-derives
+# pairs from the MATERIALIZED bucket table, so both sides see whatever plane
+# count the Spark side hashed with.
+SRP_PLANES = int(os.environ.get("OTMT_ORACLE_SRP_PLANES", "6"))
+if not 1 <= SRP_PLANES <= 24:
+    raise ValueError(f"OTMT_ORACLE_SRP_PLANES out of range: {SRP_PLANES}")
+
 
 def materialization_enabled() -> bool:
     return os.environ.get("OTMT_MATERIALIZE", "1") != "0"
@@ -656,12 +668,13 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import embedding_near_duplicates, make_srp_signature_udf
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    srp = make_srp_signature_udf(dim=64, n_planes=6)
+    srp = make_srp_signature_udf(dim=64, n_planes=SRP_PLANES)
     _materialize(
         emb.select("vec_id", srp(F.col("embedding")).alias("bucket")),
         "ndup_buckets",
     )
-    pairs = embedding_near_duplicates(emb, threshold=0.3, dim=64, n_planes=6)
+    pairs = embedding_near_duplicates(emb, threshold=0.3, dim=64,
+                                      n_planes=SRP_PLANES)
     return pairs.withColumn("cosine", F.round("cosine", 6))
 
 

@@ -113,7 +113,7 @@ def main():
                    embedding,
                    (x, i) -> (x + ((hash(vec_id * 131 + i * 17 + rep)
                                     % 200)::DOUBLE - 100.0)
-                              * 0.0002 * rep)::FLOAT) AS embedding,
+                              * 0.00002 * rep)::FLOAT) AS embedding,
                label
         FROM {src('embeddings')}, reps""")
 
