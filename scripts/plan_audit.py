@@ -67,8 +67,10 @@ def main():
         "offtopic_measures_core": "8 relational measures, same shape.",
         "minhash_lsh_pairs": (
             "signature UDF map-side; spill-safe window size gate and the "
-            "collect_list share ONE hash exchange; distinct adds the second; "
-            "no joins anywhere."),
+            "collect_list share ONE hash exchange; expand-late member-set "
+            "dedup adds one over short-array rows (strictly smaller than "
+            "the band table); pair distinct is the third; no joins "
+            "anywhere."),
         "incremental_lsh_pairs": (
             "delta-batch candidates: base band table pruned to delta-touched "
             "buckets by a broadcast SEMI-join before any shuffle; then the "
@@ -93,8 +95,9 @@ def main():
             "SRP buckets, spill-safe size gate, collect+expand, no self-join."),
         "multimodal_bmp_topk": (
             "BMP synth+decode+feature in partition-preserving mapInPandas "
-            "(no exchange until the ANN join); brute top-k with the query "
-            "side broadcast."),
+            "(no exchange until the ANN join); brute top-k = deliberate "
+            "broadcast(queries) NLJ baseline — scale path is the bucketed "
+            "ANN variants."),
         "tpch_pricing_summary": "scan→partial agg→exchange→final agg.",
     }
 
@@ -114,9 +117,13 @@ def main():
         s = summarize(plan)
         assert s["cartesian"] == 0, f"{name} has a cartesian product!"
         # BroadcastNestedLoopJoin is what an accidental cross join compiles
-        # to at test scale — the audited queries must be equi-join-only
-        # (cosine_topk's broadcast scan is deliberately NOT in this list)
-        assert s["nested_loop"] == 0, f"{name} has a nested-loop join!"
+        # to at test scale — the audited queries must be equi-join-only.
+        # Exception: brute-force cosine top-k (the ANN BASELINE) is a
+        # deliberate broadcast(queries) x scan(corpus) — linear in the
+        # corpus with queries << corpus, and the scale path is the
+        # bucketed ann_lsh/ann_ivf variants audited above.
+        if name not in ("multimodal_bmp_topk",):
+            assert s["nested_loop"] == 0, f"{name} has a nested-loop join!"
         lines.append(
             f"| {name} | {s['hash_exchanges']} | {s['roundrobin_exchanges']} "
             f"| {s['broadcast_exchanges']} | {s['python_nodes']} "
