@@ -521,11 +521,23 @@ def oracle_sql_strings() -> dict:
 
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet recast into the authoritative pages shape; text left
-    null so the engine's extract_text UDF runs (input_hint schema)."""
+    null so the engine's extract_text UDF runs (input_hint schema).
+
+    ``OTMT_PAGES_SITES`` (default 50, the driver contract — unset means
+    byte-identical behavior at every driver SF) widens the site modulus for
+    large-SF sweeps: at sf1 (50k docs) the default gives 1000-deep timelines,
+    which stress the window/measure paths at depth but empty the LSI
+    isometry domain (timelines ≤ 10 docs); a supplemental run at
+    OTMT_PAGES_SITES=12500 gives 4-deep timelines so ``lsi_vs_first`` is
+    value-checked at sf1 too.  The knob shifts the Spark query and the
+    DuckDB oracle together (the oracle reads the SAME materialized
+    intermediates), so the hash check stays exact at any setting."""
+    import os
+    sites = int(os.environ.get("OTMT_PAGES_SITES", "50"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.concat(F.lit("http://docs.example/site"),
-                 (F.col("doc_id") % 50).cast("string")).alias("url"),
+                 (F.col("doc_id") % sites).cast("string")).alias("url"),
         F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 3600)
          .alias("warc_ts"),
         F.encode(

@@ -1115,3 +1115,21 @@ def test_bench_md_marker_block_update(tmp_path, monkeypatch, module_name):
     assert "SECOND BLOCK" in text and "FIRST BLOCK" not in text
     assert "keep-this-analysis" in text
     assert text.count(mod.BEGIN) == 1 and text.count(mod.END) == 1
+
+
+def test_pages_sites_knob(spark, monkeypatch):
+    """OTMT_PAGES_SITES widens the site modulus for large-SF sweeps (so the
+    LSI isometry domain is non-empty when timelines would otherwise be
+    1000-deep); unset keeps the 50-site driver contract byte-identical."""
+    from off_topic_memento_toolkit_spark.queries import pages_from_documents
+
+    sf = "/root/testdata/sf0.01"  # 500 docs
+    monkeypatch.delenv("OTMT_PAGES_SITES", raising=False)
+    default = pages_from_documents(spark, sf)
+    assert default.select("url").distinct().count() == 50
+
+    monkeypatch.setenv("OTMT_PAGES_SITES", "125")
+    wide = pages_from_documents(spark, sf)
+    assert wide.select("url").distinct().count() == 125
+    # same rows, only the url regrouping changes
+    assert wide.count() == default.count()
