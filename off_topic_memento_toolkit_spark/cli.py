@@ -519,17 +519,24 @@ def main(argv=None, spark=None):
         merged.write.mode("overwrite").parquet(args.output)
         if args.promote:
             # same guard for the promoted state: re-ingested ids must not
-            # duplicate their docs/bands rows.  known = base ∩ batch ids,
-            # found map-only (broadcast semi over the base table, batch-
-            # sized result) and broadcast into the anti-join.
+            # duplicate their docs/bands rows.  Each stage's known set is
+            # derived from THAT stage's own table (base ∩ batch ids, found
+            # map-only: broadcast semi over the base table, batch-sized
+            # result) — NOT from docs alone: a crash between the docs and
+            # bands commits leaves the batch present in docs but absent
+            # from bands, and a docs-derived guard would make the --repair
+            # rerun drop the batch's band rows forever (bands would then
+            # silently miss every future near-dup against this batch).
             batch_ids = result["docs"].select("nid").distinct()
-            known_ids = base_docs.select("nid").join(
+            known_doc_ids = base_docs.select("nid").join(
                 F.broadcast(batch_ids), "nid", "left_semi")
             fresh_docs = result["docs"].join(
-                F.broadcast(known_ids), "nid", "left_anti")
+                F.broadcast(known_doc_ids), "nid", "left_anti")
+            known_band_ids = base_bands.select("id").join(
+                F.broadcast(batch_ids.withColumnRenamed("nid", "id")),
+                "id", "left_semi").distinct()
             fresh_bands = result["bands"].join(
-                F.broadcast(known_ids.withColumnRenamed("nid", "id")),
-                "id", "left_anti")
+                F.broadcast(known_band_ids), "id", "left_anti")
             # evidence table too — a later `takedown` repairs clusters from
             # verified_edges, and the delta's pairs must be in it or a
             # takedown inside the merged clusters would silently drop the

@@ -397,3 +397,72 @@ def test_stream_candidates_with_periodic_batch_merge_compose(spark,
     got = _clusters(spark.read.parquet(str(tmp_path / "m2")))
     want = _clusters(dedup_pipeline(pages))
     assert got == want
+
+
+def test_cli_ingest_repair_after_docs_bands_crash_window(spark, tmp_path):
+    """A promote crash BETWEEN the docs and bands commits (docs carries the
+    batch, bands does not) must repair convergently: the --repair rerun has
+    to re-insert the batch's band rows.  A re-ingest guard derived from the
+    docs table alone would anti-join them away forever — every later ingest
+    would silently miss near-dups against this batch."""
+    pages = pages_from_documents(spark, SF_DIR)
+    hour = F.unix_timestamp("warc_ts") / 3600
+    base_pages = pages.filter(hour % 5 != 0)
+    inc_pages = pages.filter(hour % 5 == 0)
+    base_src, inc_src = str(tmp_path / "b"), str(tmp_path / "i")
+    base_pages.write.parquet(base_src)
+    inc_pages.write.parquet(inc_src)
+
+    ck = str(tmp_path / "ck")
+    main(["dedup", "-i", f"pages:{base_src}", "-o", str(tmp_path / "c0"),
+          "--checkpoint-dir", ck], spark=spark)
+    store = CheckpointStore(spark, ck)
+
+    # snapshot the v1 commit markers, run the full promote, then restore
+    # them for every stage AFTER docs in the promote order — byte-exact
+    # simulation of a crash after the docs commit (the marker swing IS the
+    # commit point; later version dirs become orphans, as in a real crash)
+    import shutil
+    saved = {}
+    for stage in ("bands", "verified_edges", "clusters"):
+        saved[stage] = tmp_path / f"{stage}.marker.v1"
+        shutil.copy(store._marker(stage), saved[stage])
+    main(["ingest", "-i", f"pages:{inc_src}", "--base-checkpoint-dir", ck,
+          "-o", str(tmp_path / "m_crashed"), "--checkpoint-dir",
+          str(tmp_path / "ick1"), "--promote"], spark=spark)
+    for stage, marker in saved.items():
+        shutil.copy(marker, store._marker(stage))
+    assert store.marker("docs")["version"] == 2       # batch promoted
+    assert store.marker("bands")["version"] == 1      # batch lost
+
+    # the detector trips without --repair
+    import pytest
+    with pytest.raises(SystemExit, match="mid-promote inconsistent"):
+        main(["ingest", "-i", f"pages:{inc_src}", "--base-checkpoint-dir",
+              ck, "-o", str(tmp_path / "m2"), "--checkpoint-dir",
+              str(tmp_path / "ick2"), "--promote"], spark=spark)
+
+    # the prescribed retry: SAME batch + --repair
+    main(["ingest", "-i", f"pages:{inc_src}", "--base-checkpoint-dir", ck,
+          "-o", str(tmp_path / "m3"), "--checkpoint-dir",
+          str(tmp_path / "ick3"), "--promote", "--repair"], spark=spark)
+
+    # converged: every batch doc has its full band rows back, no stage has
+    # duplicates, and the promoted clusters equal a batch-only recompute
+    docs = store.read("docs")
+    bands = store.read("bands")
+    assert docs.count() == docs.select("nid").distinct().count()
+    from off_topic_memento_toolkit_spark.operators.timeline import (
+        with_memento_identity,
+    )
+    inc_nids = [r.nid for r in
+                with_memento_identity(spark.read.parquet(inc_src))
+                .select(F.xxhash64("urim").alias("nid")).distinct()
+                .collect()]
+    per_doc = bands.filter(bands.id.isin(inc_nids)) \
+        .groupBy("id").count()
+    assert per_doc.count() == len(inc_nids)
+    assert {r["count"] for r in per_doc.collect()} == {32}
+    got = _clusters(store.read("clusters"))
+    want = _clusters(dedup_pipeline(pages))
+    assert got == want
