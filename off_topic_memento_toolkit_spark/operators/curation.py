@@ -48,14 +48,9 @@ def _register_ranking_pin(df) -> None:
 
 
 def _release_pins(pins: list) -> int:
-    released = 0
-    while pins:
-        try:
-            pins.pop().unpersist(False)
-            released += 1
-        except Exception:  # noqa: BLE001 — session already stopped
-            pass
-    return released
+    from ..session import release_persisted
+
+    return release_persisted(pins)
 
 
 @contextmanager
@@ -73,7 +68,13 @@ def ranking_pins_scope():
     try:
         yield pins
     finally:
-        _ACTIVE_PIN_SCOPES.remove(pins)
+        # remove by IDENTITY, not equality: list.remove() would match the
+        # first scope whose contents compare equal (e.g. two nested empty
+        # scopes) and pop the OUTER one, orphaning this scope on the stack
+        for i in range(len(_ACTIVE_PIN_SCOPES) - 1, -1, -1):
+            if _ACTIVE_PIN_SCOPES[i] is pins:
+                del _ACTIVE_PIN_SCOPES[i]
+                break
         _release_pins(pins)
 
 

@@ -243,6 +243,22 @@ def test_ranking_pins_scope_owner_release(spark):
         assert not inner
     assert not _PERSISTED_RANGED
 
+    # two nested EMPTY scopes: exit must remove by IDENTITY — equality
+    # removal (list.remove) would match the outer empty list first and pop
+    # it, orphaning the inner scope on the stack (later pins would land in
+    # the orphan and leak) and raising ValueError at the outer exit
+    from off_topic_memento_toolkit_spark.operators.curation import (
+        _ACTIVE_PIN_SCOPES,
+    )
+    with ranking_pins_scope() as outer:
+        with ranking_pins_scope():
+            pass
+        # the outer scope is still the active adopter
+        assert _ACTIVE_PIN_SCOPES and _ACTIVE_PIN_SCOPES[-1] is outer
+        with_global_position(frame(10, "e"), ["k"], pos_col="pos")
+        assert len(outer) == 1
+    assert not _ACTIVE_PIN_SCOPES and not _PERSISTED_RANGED
+
 
 def test_ranking_mode_single_equals_distributed(spark):
     """The spark.otmt.ranking.mode=single fast path (one row_number window,
