@@ -435,14 +435,9 @@ def incremental_dedup_update(
         return store.run_stage(name, build)
 
     def unpersist():
-        released = 0
-        while pinned:
-            try:
-                pinned.pop().unpersist(False)
-                released += 1
-            except Exception:  # noqa: BLE001 — session already stopped
-                pass
-        return released
+        from ..session import release_persisted
+
+        return release_persisted(pinned)
 
     def build_docs():
         # dedupe BEFORE the UDFs: the same page appearing twice in one

@@ -10,6 +10,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def release_persisted(pins: list) -> int:
+    """Drain a list of persisted DataFrames, unpersisting each (non-blocking)
+    and swallowing failures from an already-stopped session; returns the
+    number released.  Shared by every owner-scoped pin registry (curation
+    ranking layouts, storeless incremental stage frames) so the release
+    semantics stay in one place."""
+    released = 0
+    while pins:
+        try:
+            pins.pop().unpersist(False)
+            released += 1
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    return released
+
+
 def get_spark(
     app_name: str = "otmt-spark",
     master: str | None = None,
