@@ -385,11 +385,14 @@ class IcebergCheckpointStore:
     Mapping of the contract onto Iceberg primitives:
     - ``write``  → ``df.writeTo(tbl).using("iceberg").createOrReplace()``
       (Iceberg's own atomic snapshot commit), then the commit marker (rows,
-      partitions, per-partition lineage counters) lands as ONE atomic
-      table-property commit — a crash in between leaves the stage
-      uncommitted and the relaunch recomputes it, exactly like a torn
-      version directory in the parquet backend;
-    - ``read(version=…)`` → snapshot-id time travel;
+      partitions, per-partition lineage counters, the committed SNAPSHOT
+      ID) lands as ONE atomic table-property commit — the marker swing is
+      the commit point, and committed reads pin to the marker's snapshot,
+      so a crash in between leaves the stage committed at its previous
+      snapshot (first write: uncommitted, relaunch recomputes), exactly
+      like the parquet backend's versioned directories;
+    - ``read()`` → snapshot-id time travel to the marker's snapshot
+      (``version=…`` for an explicit older one);
     - ``versions`` → the ``<table>.snapshots`` metadata table;
     - ``expire_snapshots`` → ``catalog.system.expire_snapshots``.
     """
@@ -441,24 +444,16 @@ class IcebergCheckpointStore:
             return rows[0].snapshot_id
         return self.versions(stage)[-1]  # refs table empty: deterministic tail
 
-    def _table_exists(self, stage: str) -> bool:
-        return self.spark.catalog.tableExists(
-            f"{self.catalog}.{self.namespace}.{stage}")
-
     def write(self, df: DataFrame, stage: str, bucket_by: list | None = None,
               num_buckets: int = 32) -> DataFrame:
         table = self._table(stage)
-        # stale-marker guard: REPLACE TABLE carries existing table properties
-        # into the replacement metadata, so drop the old marker FIRST — a
-        # crash anywhere before the final property commit then leaves the
-        # stage observably uncommitted and the relaunch recomputes it.
-        # Existence is checked explicitly; a TRANSIENT catalog failure of the
-        # UNSET must propagate (swallowing it would recreate exactly the
-        # torn state this guard exists to prevent).
-        if self._table_exists(stage):
-            self.spark.sql(
-                f"ALTER TABLE {table} UNSET TBLPROPERTIES IF EXISTS "
-                f"('{self.MARKER_PROP}')")
+        # The marker swing is the commit point, exactly like the parquet
+        # backend: committed reads pin to the SNAPSHOT ID the marker names
+        # (see read()), so the old marker stays valid while REPLACE TABLE
+        # lands — it keeps naming the pre-replace snapshot, which Iceberg
+        # retains in the table history.  A crash before the marker swing
+        # leaves the stage committed at its PREVIOUS snapshot (retryable),
+        # never torn and never pointing a marker at half-written data.
         writer = _with_lineage(df, self.run_id, stage) \
             .writeTo(table).using("iceberg")
         if bucket_by:
@@ -498,9 +493,16 @@ class IcebergCheckpointStore:
         files (Iceberg rewrites only the files holding matched rows; with a
         bucket(key) partition spec those are the touched buckets).
 
-        The marker is dropped before the data commits and re-set after —
-        a crash in between leaves the stage observably uncommitted, exactly
-        like the parquet backend's torn version directory."""
+        Crash semantics match the parquet backend's marker-swing commit:
+        the OLD marker stays in place while the (up to two) MERGE INTO
+        statements land, and committed reads pin to the snapshot the marker
+        names — a crash between the data commits and the marker swing
+        leaves the stage committed at its previous snapshot, with the
+        half-applied live snapshots invisible to readers.  The prescribed
+        retry (same batch + --repair) re-runs the same MERGEs, which are
+        idempotent against a half-applied live table (upsert re-updates,
+        insert-if-absent skips, delete re-deletes), so the repair
+        converges instead of forcing a full-corpus rebuild."""
         marker = self.marker(stage)
         on = list(on or marker.get("bucket_by") or [])
         if not on:
@@ -508,9 +510,6 @@ class IcebergCheckpointStore:
                 f"stage {stage!r} has no bucket_by and no explicit on= — "
                 f"merge needs a match key")
         table = self._table(stage)
-        self.spark.sql(
-            f"ALTER TABLE {table} UNSET TBLPROPERTIES IF EXISTS "
-            f"('{self.MARKER_PROP}')")
         cond = " AND ".join(f"t.`{c}` = s.`{c}`" for c in on)
         if changes is not None:
             view = f"_otmt_merge_src_{stage}"
@@ -544,8 +543,18 @@ class IcebergCheckpointStore:
         return [r.snapshot_id for r in rows]
 
     def read(self, stage: str, version=None) -> DataFrame:
+        """The COMMITTED snapshot: reads pin to the snapshot id the marker
+        names (or an explicit older ``version``: time travel), never the
+        live table head — mid-merge MERGE INTO commits that landed before
+        the marker swing stay invisible, the same isolation the parquet
+        backend gets from versioned directories."""
         table = self._table(stage)
         reader = self.spark.read
+        if version is None:
+            try:
+                version = self.marker(stage).get("version")
+            except Exception:  # noqa: BLE001 — uncommitted: live read
+                version = None
         if version is not None:
             reader = reader.option("snapshot-id", str(version))
         return reader.table(table).drop(

@@ -1015,6 +1015,30 @@ def test_iceberg_checkpoint_contract(spark, tmp_path):
         insert_only=True)
     got2 = {(r.k, r.val) for r in ins.collect()}
     assert got2 == expected | {(200, "NEW2")}  # key 3 present → skipped
+    expected |= {(200, "NEW2")}
+
+    # crash window: a MERGE INTO that lands WITHOUT the marker swing (a
+    # merge() killed between its data commit and _commit_marker) must stay
+    # invisible — the stage remains committed at the marker's snapshot and
+    # read() serves the pre-crash state, never the half-applied live head
+    spark.createDataFrame([(3, "TORN")], "k long, val string") \
+        .createOrReplaceTempView("_torn_src")
+    spark.sql(f"MERGE INTO {store2._table('stage_m')} t USING _torn_src s "
+              f"ON t.k = s.k WHEN MATCHED THEN UPDATE SET t.val = s.val")
+    spark.catalog.dropTempView("_torn_src")
+    assert store2.is_committed("stage_m")
+    assert {(r.k, r.val) for r in store2.read("stage_m").collect()} \
+        == expected  # (3, "UPDATED") still, not "TORN"
+    # the prescribed retry re-runs the same merge and converges: the swing
+    # commits a snapshot that INCLUDES the torn mutation's effects only as
+    # re-applied by the idempotent retry
+    retry = store2.merge(
+        "stage_m",
+        changes=spark.createDataFrame([(3, "UPDATED")],
+                                      "k long, val string"))
+    assert {(r.k, r.val) for r in retry.collect()} == expected
+    assert {(r.k, r.val) for r in store2.read("stage_m").collect()} \
+        == expected
 
 
 def test_synthesize_bmp_media_fixture(spark):
