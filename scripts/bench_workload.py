@@ -31,10 +31,22 @@ def build_pages(spark, sf_dir: str, replicate: int, rep_start: int = 0,
     they remain LSH near-duplicates of each other (5-word shingle jaccard
     ≈ 0.9), so the default corpus puts EVERY page in a ``replicate``-member
     near-dup clique — pair volume ∝ replicate²/2, an adversarial worst
-    case ~30x a realistic crawl's.  ``dup_fraction`` < 1 salts the other
+    case ~30x a realistic crawl's.  ``dup_fraction`` < 1 salts some
     replicas with a per-replica token every few words (breaking every
-    shingle window → jaccard ≈ 0 across them), leaving only that fraction
-    of each doc's replicas in cliques — the realistic-dup-rate corpus."""
+    shingle window → jaccard ≈ 0 across them) — the realistic-dup-rate
+    corpus.
+
+    PRECISE ``dup_fraction`` semantics (the published dup-rate probe and
+    BENCH.md numbers are keyed to this, so it is documented rather than
+    "fixed"): replica ids with ``r % 100 < int(dup_fraction * 100)`` stay
+    unsalted, i.e. the knob selects the first ``int(dup_fraction * 100)``
+    of every 100 replica ids as clique members — an ABSOLUTE count per
+    100 ids, not a fraction of ``replicate``.  With ``replicate`` < 100
+    and ``rep_start=0`` the clique size is ``min(int(dup_fraction*100),
+    replicate)``: e.g. the dup-rate probe's 0.06 × replicate=32 →
+    6-member cliques (6/32 ≈ 19% of pages duplicated, matching its help
+    text).  Delta batches whose ``rep_start`` pushes ids past the cutoff
+    are fully salted."""
     def one(r):
         docs = spark.read.parquet(sf_dir + "/documents.parquet")
         if r > 0:
