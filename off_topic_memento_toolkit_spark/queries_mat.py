@@ -66,6 +66,30 @@ if not 1 <= SRP_PLANES <= 24:
     raise ValueError(f"OTMT_ORACLE_SRP_PLANES out of range: {SRP_PLANES}")
 
 
+# Measures whose two sides are computed by genuinely DIFFERENT algorithms
+# (Spark kernel: sklearn-style TF-IDF / exact truncated SVD; oracle: plain
+# SQL aggregation): each side carries its own ±1-2 ulp noise, so a score
+# landing EXACTLY on a 6-decimal rounding boundary — which integer-count
+# corpora generate systematically (dyadic cosines like 127/128 at sf1) —
+# can round differently per side no matter how either formula is written.
+# Both dialects therefore shift these scores by -1e-9 BEFORE rounding:
+# the boundary moves 1e-9 away from the exact value (≫ the ulp noise, ≪
+# the 6-decimal grid), so both sides round identically.  Measures computed
+# bit-identically on both sides (rational arithmetic over the same ints)
+# need no shift — their boundary cases agree by construction.
+_BOUNDARY_UNSTABLE_MEASURES = ("cosine", "gensim_lsi")
+_ROUND_EPS = 1e-9
+
+
+def _stable_round6(score_col: str = "comparison_score",
+                   measure_col: str = "measure"):
+    shifted = F.when(
+        F.col(measure_col).isin(*_BOUNDARY_UNSTABLE_MEASURES),
+        F.col(score_col) - F.lit(_ROUND_EPS),
+    ).otherwise(F.col(score_col))
+    return F.round(shifted, 6)
+
+
 def materialization_enabled() -> bool:
     return os.environ.get("OTMT_MATERIALIZE", "1") != "0"
 
@@ -925,7 +949,7 @@ def q_offtopic_measures_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = score_timemap_measures(pages, measures=CORE_MEASURES)
     return scores.join(clean, "urit").select(
         "urit", "urim", "measure",
-        F.round("comparison_score", 6).alias("comparison_score"),
+        _stable_round6().alias("comparison_score"),
         "topic_status",
     )
 
@@ -967,9 +991,11 @@ SELECT urit, urim, 'tfintersection' AS measure,
        CASE WHEN tfi > 0.0 THEN 'off-topic' ELSE 'on-topic' END
          AS topic_status
 FROM tfint""")
+    # -1e-9 pre-round shift: see _BOUNDARY_UNSTABLE_MEASURES (the Spark
+    # side applies the identical shift via _stable_round6)
     arms.append("""
 SELECT urit, urim, 'cosine' AS measure,
-       round(score, 6) AS comparison_score,
+       round(score - 1e-9, 6) AS comparison_score,
        CASE WHEN score < 0.12 THEN 'off-topic' ELSE 'on-topic' END
          AS topic_status
 FROM cosfinal""")
@@ -1031,7 +1057,7 @@ w AS (
   JOIN cdf d ON c.urit = d.urit AND c.token = d.token
   JOIN n_t n ON c.urit = n.urit
 ),
-norms AS (SELECT urit, urim, sqrt(sum(w * w)) AS nrm FROM w GROUP BY urit, urim),
+norms AS (SELECT urit, urim, sum(w * w) AS nrm2 FROM w GROUP BY urit, urim),
 cosraw AS (
   SELECT a.urit AS urit, a.urim AS urim, sum(a.w * b.w) AS dot
   FROM w a
@@ -1039,11 +1065,15 @@ cosraw AS (
   LEFT JOIN w b ON b.urit = a.urit AND b.urim = f.f_urim AND b.token = a.token
   GROUP BY a.urit, a.urim
 ),
+-- dot / sqrt(A*B), ONE sqrt of the squared-norm product: better-conditioned
+-- than sqrt(A)*sqrt(B) and EXACT for dyadic-rational cosines (e.g. 127/128
+-- when A=B=128), where the two-sqrt product lands 1 ulp below the true
+-- value and straddles the 6-decimal rounding boundary against the kernel
 cosfinal AS (
   SELECT m.urit AS urit, m.urim AS urim,
-         coalesce(c.dot, 0.0) /
-         ((CASE WHEN coalesce(na.nrm, 0) = 0 THEN 1.0 ELSE na.nrm END) *
-          (CASE WHEN coalesce(nf.nrm, 0) = 0 THEN 1.0 ELSE nf.nrm END))
+         coalesce(c.dot, 0.0) / sqrt(
+         (CASE WHEN coalesce(na.nrm2, 0) = 0 THEN 1.0 ELSE na.nrm2 END) *
+         (CASE WHEN coalesce(nf.nrm2, 0) = 0 THEN 1.0 ELSE nf.nrm2 END))
            AS score
   FROM (SELECT urit, urim FROM mi) m
   JOIN firsts f ON m.urit = f.urit
@@ -1187,7 +1217,7 @@ def q_lsi_vs_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scores.join(eligible, "urit")
         .select("urit", "urim", "measure",
-                F.round("comparison_score", 6).alias("comparison_score"),
+                _stable_round6().alias("comparison_score"),
                 "topic_status")
     )
 
@@ -1212,7 +1242,7 @@ tf AS (
   GROUP BY l.urit, l.urim, t.token
 ),
 norms AS (
-  SELECT urit, urim, sqrt(sum(cnt * cnt)) AS nrm FROM tf GROUP BY urit, urim
+  SELECT urit, urim, sum(cnt * cnt) AS nrm2 FROM tf GROUP BY urit, urim
 ),
 dots AS (
   SELECT a.urit AS urit, a.urim AS urim, sum(a.cnt * b.cnt) AS dot
@@ -1221,11 +1251,15 @@ dots AS (
   JOIN tf b ON b.urit = a.urit AND b.urim = f.f_urim AND b.token = a.token
   GROUP BY a.urit, a.urim
 ),
+-- dot / sqrt(A*B) with ONE sqrt: exact for dyadic-rational cosines (the
+-- sf1 corpus hits 127/128 exactly — A=B=128 integer count norms — where
+-- sqrt(128)*sqrt(128) rounds 1 ulp low and the 6-decimal round then
+-- disagrees with the kernel's exact value)
 sims AS (
   SELECT m.urit AS urit, m.urim AS urim,
-         coalesce(d.dot, 0.0) /
-         ((CASE WHEN coalesce(na.nrm, 0) = 0 THEN 1.0 ELSE na.nrm END) *
-          (CASE WHEN coalesce(nf.nrm, 0) = 0 THEN 1.0 ELSE nf.nrm END))
+         coalesce(d.dot, 0.0) / sqrt(
+         (CASE WHEN coalesce(na.nrm2, 0) = 0 THEN 1.0 ELSE na.nrm2 END) *
+         (CASE WHEN coalesce(nf.nrm2, 0) = 0 THEN 1.0 ELSE nf.nrm2 END))
            AS score
   FROM (SELECT urit, urim FROM l) m
   JOIN firsts f ON m.urit = f.urit
@@ -1234,7 +1268,7 @@ sims AS (
   LEFT JOIN norms nf ON nf.urit = m.urit AND nf.urim = f.f_urim
 )
 SELECT urit, urim, 'gensim_lsi' AS measure,
-       round(score, 6) AS comparison_score,
+       round(score - 1e-9, 6) AS comparison_score,
        CASE WHEN score < 0.07 THEN 'off-topic' ELSE 'on-topic' END
          AS topic_status
 FROM sims"""
@@ -1312,7 +1346,7 @@ def q_offtopic_measures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scores.join(domain, ["urit", "urim", "measure"])
         .select("urit", "urim", "measure",
-                F.round("comparison_score", 6).alias("comparison_score"),
+                _stable_round6().alias("comparison_score"),
                 "topic_status")
     )
 
