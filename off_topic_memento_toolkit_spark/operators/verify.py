@@ -47,11 +47,21 @@ def _common_substring_of_length(a: str, b: str, length: int) -> bool:
         positions_b = hb.get(h)
         if not positions_b:
             continue
-        # verify to rule out hash collisions
-        subs_b = {b[j:j + length] for j in positions_b}
+        # verify to rule out hash collisions — LAZILY, comparing one
+        # window pair at a time with early exit.  Never materialize the
+        # window set: on repetitive text (a = "ab"*500k) every same-parity
+        # window shares one hash, and building {b[j:j+L] ...} would hash
+        # O(n) windows of O(L) chars (O(n·L) work) before any compare; the
+        # lazy loop returns on the FIRST compare there (periodic windows
+        # with equal hashes are equal strings).  The quadratic corner now
+        # needs engineered 61-bit rolling-hash collisions, not mere
+        # repetition — across-string hash equality without string equality
+        # has probability ~ n·m / 2^61 per probe.
         for i in positions_a:
-            if a[i:i + length] in subs_b:
-                return True
+            sub_a = a[i:i + length]
+            for j in positions_b:
+                if sub_a == b[j:j + length]:
+                    return True
     return False
 
 
@@ -83,10 +93,21 @@ def lcs_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def _attach_pair_payload(pairs: DataFrame, docs: DataFrame,
                          id_col: str, payload_col: str) -> DataFrame:
-    left = docs.select(F.col(id_col).alias("id_a"),
-                       F.col(payload_col).alias("_payload_a"))
-    right = docs.select(F.col(id_col).alias("id_b"),
-                        F.col(payload_col).alias("_payload_b"))
+    # prune docs to the pair ENDPOINTS before shipping payloads into the
+    # joins: endpoints are candidate-sized (≤ 2·|pairs|, tiny vs the
+    # corpus), so the broadcast semi-join keeps the corpus payload scan
+    # map-only instead of shuffling every token array / text blob through
+    # two sort-merge joins (same prune the incremental path applies,
+    # operators/incremental.py build_verified)
+    endpoints = F.broadcast(
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct())
+    pruned = docs.join(endpoints, id_col, "left_semi")
+    left = pruned.select(F.col(id_col).alias("id_a"),
+                         F.col(payload_col).alias("_payload_a"))
+    right = pruned.select(F.col(id_col).alias("id_b"),
+                          F.col(payload_col).alias("_payload_b"))
     return pairs.join(left, "id_a").join(right, "id_b")
 
 
@@ -102,9 +123,14 @@ def verified_pairs_jaccard(
     a, b = F.col("_payload_a"), F.col("_payload_b")
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
+    # empty ∪ empty = NOT verifiable, score 0.0 (reject) — matching the LCS
+    # verifier's shorter==0 → 0.0.  Scoring it 1.0 would auto-confirm pairs
+    # of unparseable/token-less pages arriving from the raw-byte simhash
+    # channel (which, unlike minhash banding, can emit empty-token docs)
+    # without any content evidence.
     jaccard = (
         F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
-        .when(union == 0, F.lit(1.0))
+        .when(union == 0, F.lit(0.0))
         .otherwise(inter.cast("double") / union)
     )
     return (

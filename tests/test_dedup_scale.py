@@ -404,3 +404,83 @@ def test_lcs_sample_prefix_validated(monkeypatch):
     finally:
         monkeypatch.delenv("OTMT_ORACLE_LCS_SAMPLE")
         importlib.reload(qm)
+
+
+def test_lcs_kernel_repetitive_text_not_quadratic():
+    """Periodic near-dup pairs (spam/boilerplate) must verify in rolling-hash
+    time, not O(n*L): every same-parity window of "ab"*k shares one hash, and
+    an eager window-set materialization did O(n*L) hashing per binary-search
+    probe (250e9 chars at 1 MB inputs).  The lazy collision verify returns on
+    the first compare; 200k-char periodic inputs must finish in seconds."""
+    import time
+
+    a = "ab" * 100_000
+    b = "ab" * 99_000 + "x"
+    start = time.time()
+    lcs = longest_common_substring_length(a, b)
+    assert lcs == 198_000
+    assert time.time() - start < 20  # was minutes-to-OOM before the fix
+
+
+def test_jaccard_verify_rejects_empty_token_pairs(spark):
+    """empty ∪ empty scores 0.0 (not verifiable), never 1.0 — a pair of
+    token-less pages from the raw-byte simhash channel must not be
+    auto-confirmed into a dedup cluster without content evidence."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, []), (2, []), (3, ["x", "y"]), (4, ["x", "y"])],
+        "id long, tokens array<string>")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    got = verified_pairs_jaccard(pairs, docs, id_col="id",
+                                 tokens_col="tokens", min_jaccard=0.5)
+    assert [(r.id_a, r.id_b, r.jaccard_sim) for r in got.collect()] \
+        == [(3, 4, 1.0)]
+
+
+def test_simhash_pairs_max_hamming_beyond_default_chunks(spark):
+    """max_hamming > chunks-1 must widen the slice join (pigeonhole needs
+    >= h+1 slices), not silently lose pairs: at max_hamming=5 with the
+    default 4 chunks, a pair whose 5 differing bits span 5 different
+    16-bit slices collides on no chunk and was missed before the guard."""
+    import itertools
+
+    from off_topic_memento_toolkit_spark.operators.lsh import (
+        chunks_for_hamming,
+        simhash_candidate_pairs,
+    )
+
+    assert chunks_for_hamming(3) == 4 and chunks_for_hamming(3, 8) == 8
+    assert chunks_for_hamming(5) == 8 and chunks_for_hamming(9) == 16
+
+    base = 0x0123456789ABCDEF
+    # 5 flipped bits, one in each of 5 different 8-bit slices — within
+    # hamming 5 of base but sharing NO 16-bit (4-chunk) slice with it
+    probe = base ^ ((1 << 0) | (1 << 17) | (1 << 34) | (1 << 51) | (1 << 8))
+    rows = [(1, base), (2, probe), (3, base ^ 0x3F)]  # 3: hamming 6, out
+    df = spark.createDataFrame(rows, "id long, simhash long")
+    got = {(r.id_a, r.id_b) for r in simhash_candidate_pairs(
+        df, id_col="id", simhash_col="simhash", max_hamming=5).collect()}
+    want = {
+        (a, b)
+        for (a, ha), (b, hb) in itertools.combinations(rows, 2)
+        if bin(ha ^ hb).count("1") <= 5
+    }
+    assert (1, 2) in want  # the probe pair really is within 5
+    assert got == want
+
+
+def test_connected_components_exhaustion_raises(spark):
+    """Exhausting max_iterations without convergence must raise, never
+    return silently fragmented labels (the final groupBy would assign each
+    node the min of a PARTIAL neighborhood)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=1,
+                             small_graph_threshold=0)
+    # enough rounds: one component labeled by its min
+    ok = connected_components(chain, small_graph_threshold=0)
+    assert {r.component for r in ok.collect()} == {0}
