@@ -97,13 +97,11 @@ def _delta_touching_pairs(
         (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)).drop("_n")
     buckets = bounded.groupBy(*key_cols).agg(
         F.collect_list(member).alias("members"))
-    expand = (
-        "flatten(transform(members, (x, i) -> "
-        "transform(slice(members, i + 2, size(members) - i - 1), "
-        "y -> struct(x AS u, y AS v))))"
-    )
+    from ..operators.lsh import pair_expand_expr
+
     return (
-        buckets.select(F.explode(F.expr(expand)).alias("p"))
+        buckets.select(F.explode(F.expr(pair_expand_expr("members")))
+                       .alias("p"))
         .filter(F.col("p.u.is_new") | F.col("p.v.is_new"))
     )
 
@@ -179,7 +177,9 @@ def incremental_simhash_pairs(
     """SimHash Hamming-ball pairs with ≥1 endpoint in the new batch.
 
     ``*_chunks``: (id, simhash, chunk, chunk_value) as produced by
-    lsh.py::simhash_chunk_table; the exact ``bit_count`` verify runs
+    lsh.py::simhash_chunk_table — built with ≥ max_hamming+1 slices
+    (``lsh.chunks_for_hamming``), or the pigeonhole is not exhaustive and
+    pairs are silently missed; the exact ``bit_count`` verify runs
     JVM-side on the expanded pairs, exactly like the batch path."""
     pairs = _delta_touching_pairs(
         base_chunks, new_chunks, ["chunk", "chunk_value"], max_bucket_size,
@@ -476,13 +476,16 @@ def incremental_dedup_update(
         # the broadcast semi-join prune then discards everything outside the
         # delta's chunk-key space before any shuffle), matching the batch
         # pipeline's dual-channel candidates
-        from ..operators.lsh import simhash_chunk_table
+        from ..operators.lsh import chunks_for_hamming, simhash_chunk_table
 
+        # pigeonhole precondition: ≥ max_hamming+1 slices, same derivation
+        # as the batch channel (silent recall loss otherwise)
+        n_chunks = chunks_for_hamming(max_hamming)
         simhash_pairs = incremental_simhash_pairs(
             simhash_chunk_table(base_docs, id_col="nid",
-                                simhash_col="raw_simhash"),
+                                simhash_col="raw_simhash", chunks=n_chunks),
             simhash_chunk_table(new_docs, id_col="nid",
-                                simhash_col="raw_simhash"),
+                                simhash_col="raw_simhash", chunks=n_chunks),
             max_hamming=max_hamming, max_bucket_size=max_bucket_size,
             broadcast_new_keys=broadcast_new_keys)
         return minhash_pairs.union(simhash_pairs).distinct()

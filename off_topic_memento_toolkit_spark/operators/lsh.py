@@ -44,11 +44,19 @@ def minhash_band_table(
     )
 
 
-_PAIR_EXPAND = (
-    "flatten(transform(ids, (x, i) -> "
-    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-    "y -> struct(x AS u, y AS v))))"
-)
+def pair_expand_expr(col: str) -> str:
+    """SQL expression expanding a (sorted) array column into its unordered
+    element pairs as struct(u, v) — shared by every collect+expand candidate
+    path (minhash buckets, simhash buckets, incremental delta buckets) so
+    the 1-based ``slice`` arithmetic lives in exactly one place."""
+    return (
+        f"flatten(transform({col}, (x, i) -> "
+        f"transform(slice({col}, i + 2, size({col}) - i - 1), "
+        f"y -> struct(x AS u, y AS v))))"
+    )
+
+
+_PAIR_EXPAND = pair_expand_expr("ids")
 
 
 def candidate_pairs_from_buckets(
@@ -135,6 +143,22 @@ def minhash_candidate_pairs(
     return candidate_pairs_from_buckets(bucketed, max_bucket_size)
 
 
+def chunks_for_hamming(max_hamming: int, chunks: int = 4) -> int:
+    """The slice count that keeps the pigeonhole EXHAUSTIVE: a pair at
+    hamming ≤ max_hamming collides on ≥1 of ``chunks`` slices only when
+    chunks ≥ max_hamming + 1.  Returns ``chunks`` unchanged when already
+    sufficient, else the smallest divisor of 64 that is — so a caller
+    raising ``max_hamming`` past the default 3 silently gets a wider slice
+    join instead of silent recall loss."""
+    if max_hamming + 1 <= chunks:
+        return chunks
+    for c in (2, 4, 8, 16, 32, 64):
+        if c >= max_hamming + 1:
+            return c
+    raise ValueError(
+        f"max_hamming={max_hamming} out of range for a 64-bit simhash")
+
+
 def simhash_chunk_table(
     df: DataFrame,
     id_col: str = "urim",
@@ -142,6 +166,10 @@ def simhash_chunk_table(
     chunks: int = 4,
 ) -> DataFrame:
     """(id, chunk, chunk_value): bit-slices of the 64-bit simhash."""
+    if chunks < 1 or 64 % chunks:
+        raise ValueError(
+            f"chunks={chunks} must divide 64 — unequal slices would leave "
+            f"high bits out of every chunk key and miss collisions")
     width = 64 // chunks
     mask = (1 << width) - 1
     slices = F.array(*[
@@ -180,6 +208,9 @@ def simhash_candidate_pairs(
     JVM-side."""
     from pyspark.sql import Window
 
+    # the contract is ALL pairs ≤ max_hamming: widen the slice count when
+    # the caller's max_hamming outgrows it (pigeonhole needs ≥ h+1 slices)
+    chunks = chunks_for_hamming(max_hamming, chunks)
     table = simhash_chunk_table(df, id_col, simhash_col, chunks)
     counted = table.withColumn(
         "_n", F.count("*").over(Window.partitionBy("chunk", "chunk_value")))
@@ -189,13 +220,9 @@ def simhash_candidate_pairs(
         F.collect_list(F.struct("id", "simhash")).alias("members"))
     buckets = buckets.select(
         F.array_sort("members").alias("members")).distinct()
-    expand = (
-        "flatten(transform(members, (x, i) -> "
-        "transform(slice(members, i + 2, size(members) - i - 1), "
-        "y -> struct(x AS u, y AS v))))"
-    )
     return (
-        buckets.select(F.explode(F.expr(expand)).alias("p"))
+        buckets.select(F.explode(F.expr(pair_expand_expr("members")))
+                       .alias("p"))
         .filter(
             F.bit_count(
                 F.col("p.u.simhash").bitwiseXOR(F.col("p.v.simhash"))
