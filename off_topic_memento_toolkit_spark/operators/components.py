@@ -160,6 +160,7 @@ def connected_components(
     loop_partitions = max(1, min(int(conf_shuffle),
                                  previous_sig[0] // 1_000_000 + 1))
 
+    converged = False
     for iteration in range(max_iterations):
         stepped = _small_star(_large_star(current, loop_partitions),
                               loop_partitions)
@@ -172,8 +173,26 @@ def connected_components(
         signature = _checksum(stepped)
         current = stepped
         if signature == previous_sig:
+            converged = True
             break
         previous_sig = signature
+        # re-size the next round's shuffles from the LIVE edge count (the
+        # checksum already returns it): star contraction collapses the
+        # graph by orders of magnitude within a few rounds, and keeping
+        # the initial sizing would schedule mostly-empty tasks across
+        # ~6 shuffle stages per late iteration
+        loop_partitions = max(1, min(int(conf_shuffle),
+                                     signature[0] // 1_000_000 + 1))
+    if not converged:
+        # exhaustion would mean the final groupBy labels each node with the
+        # min of a PARTIAL neighborhood — silently fragmented clusters; the
+        # alternating-star loop converges in O(log n) rounds, so hitting
+        # the cap signals a pathological input, never a tuning choice
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations ({previous_sig[0]} live edges); "
+            f"raise max_iterations — truncating here would return "
+            f"fragmented component labels")
 
     und = _symmetric(current)
     labels = und.groupBy("src").agg(
