@@ -43,8 +43,17 @@ def build_streaming_enrichment(
 
 def streaming_near_dup_suppression(enriched: DataFrame) -> DataFrame:
     """Suppress exact simhash repeats per url within the watermark — the
-    streaming analogue of bin/exclude_duplicates' 'already seen' rule."""
-    return enriched.dropDuplicatesWithinWatermark(["url", "raw_simhash"])
+    streaming analogue of bin/exclude_duplicates' 'already seen' rule.
+
+    Null simhashes (unparseable/absent content) are EXCLUDED, matching
+    :func:`streaming_exact_dedup_batch_equivalent` — dedup keys treat nulls
+    as equal, so without the filter distinct unparseable pages would
+    wrongly collapse into one "duplicate" group while the batch twin
+    emits none of them."""
+    return (
+        enriched.filter(F.col("raw_simhash").isNotNull())
+        .dropDuplicatesWithinWatermark(["url", "raw_simhash"])
+    )
 
 
 def write_signatures_stream(df: DataFrame, out_path: str,
@@ -98,6 +107,7 @@ def streaming_sequential_dedup(
     enriched: DataFrame,
     threshold: float = 0.2,
     state_cap: int = 4096,
+    state_ttl_hours: float | None = None,
 ) -> DataFrame:
     """Custom stateful operator: the reference's SEQUENTIAL D1 rule
     (bin/exclude_duplicates:67-106) as ``applyInPandasWithState`` per url —
@@ -111,6 +121,16 @@ def streaming_sequential_dedup(
     may re-emit, a bounded-memory trade every streaming dedup makes; the
     batch path (LSH + CC) is the exhaustive channel.
 
+    TOTAL state (the url COUNT, which per-key caps don't bound) is bounded
+    by ``state_ttl_hours``: a url whose last event is that far behind the
+    watermark has its state evicted via an event-time timeout — without
+    it, a continuous crawl over millions of distinct urls grows the state
+    store without bound.  Eviction trades exact D1 parity for the bound: a
+    url resurfacing after the TTL restarts its prev/seen history, and
+    archival EVENT time gaps of months are normal in TimeMaps — so the
+    default is ``None`` (exact parity, unbounded url count) and continuous
+    multi-tenant deployments opt in (e.g. 720 = 30 days).
+
     Parity note: D1 is an order-of-arrival rule; exact batch equivalence
     holds when rows arrive per-url in (warc_ts, urim) order.  A url group is
     delivered as MULTIPLE Arrow chunks when it exceeds
@@ -123,7 +143,14 @@ def streaming_sequential_dedup(
 
     columns = ["url", "warc_ts", "urim", "raw_simhash"]
 
+    ttl_ms = (int(state_ttl_hours * 3_600_000)
+              if state_ttl_hours is not None else None)
+
     def dedup_fn(key, pdf_iter, state):
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL: evict (bounds TOTAL state in #urls)
+            state.remove()
+            return
         prev, seen_list = state.get if state.exists else (0, [])
         seen = set(int(h) for h in seen_list)
         out = []
@@ -141,11 +168,15 @@ def streaming_sequential_dedup(
                     out.append((row.url, row.warc_ts, row.urim, h))
                 prev = h
         state.update((prev, sorted(seen)))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
         if out:
             yield pd.DataFrame(out, columns=columns)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (GroupStateTimeout.EventTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return (
         enriched.select("url", "warc_ts", "urim", "raw_simhash")
         # error rows (null simhash: unparseable/absent content) carry no
@@ -155,7 +186,7 @@ def streaming_sequential_dedup(
         .groupBy("url")
         .applyInPandasWithState(
             dedup_fn, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA,
-            "append", GroupStateTimeout.NoTimeout,
+            "append", timeout,
         )
     )
 
@@ -205,8 +236,6 @@ def streaming_incremental_candidates(
     ``enriched``: output of :func:`build_streaming_enrichment` (carries the
     event-time watermark; rows with empty tokens are dropped — they have no
     shingle signature)."""
-    from pyspark.sql import Window
-
     from ..functions.udfs import make_minhash_bands_udf
 
     udf = make_minhash_bands_udf(num_perm, shingle_words, bands, seed)
@@ -216,10 +245,23 @@ def streaming_incremental_candidates(
         .select(F.xxhash64("urim").alias("id_new"), "warc_ts",
                 F.posexplode(udf(F.col("tokens"))).alias("band", "band_hash"))
     )
-    counted = base_bands.withColumn(
-        "_n", F.count("*").over(Window.partitionBy("band", "band_hash")))
+    # The static subplan re-evaluates EVERY micro-batch, so the hot-bucket
+    # cap must not be a corpus-wide window count inside it (that would
+    # shuffle the whole base band table per trigger — the stream could
+    # never keep up).  Instead the OVERFLOWING bucket keys — a tiny frame,
+    # #hot-buckets rows — are computed once and persisted for the stream's
+    # lifetime; each micro-batch then drops them with a map-side broadcast
+    # anti-join.  The base is a committed checkpoint stage (immutable until
+    # the next promote rebuilds the stream), so caching it is sound.
+    hot_keys = (
+        base_bands.groupBy("band", "band_hash").count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("band", "band_hash")
+        .persist()
+    )
     bounded_base = (
-        counted.filter(F.col("_n") <= max_bucket_size).drop("_n")
+        base_bands.join(F.broadcast(hot_keys), ["band", "band_hash"],
+                        "left_anti")
         .withColumnRenamed("id", "id_base")
     )
     return (

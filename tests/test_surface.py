@@ -1157,3 +1157,61 @@ def test_pages_sites_knob(spark, monkeypatch):
     assert wide.select("url").distinct().count() == 125
     # same rows, only the url regrouping changes
     assert wide.count() == default.count()
+
+
+def test_streaming_stateful_dedup_ttl_eviction(spark, tmp_path):
+    """Opt-in state TTL bounds the state store's URL COUNT: a url idle past
+    state_ttl_hours (event time vs watermark) is evicted, so its exact
+    repeat later re-emits — the documented bounded-memory trade.  The
+    default (no TTL) keeps exact D1 parity and suppresses the repeat."""
+    import datetime
+
+    from off_topic_memento_toolkit_spark.sources.datagen import PAGES_SCHEMA
+    from off_topic_memento_toolkit_spark.streaming.ingest import (
+        build_streaming_enrichment,
+        streaming_sequential_dedup,
+    )
+
+    def page(url, ts):
+        html = f"<html><body><p>stable text for {url}</p></body></html>"
+        return (url, datetime.datetime(*ts), html.encode(), None, "en")
+
+    def drain(name, ttl):
+        stream = build_streaming_enrichment(spark, str(tmp_path / "src"))
+        q = (streaming_sequential_dedup(stream, threshold=0.2,
+                                        state_ttl_hours=ttl)
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / f"out{name}"))
+             .option("checkpointLocation", str(tmp_path / f"ck{name}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    def land(*rows):
+        spark.createDataFrame(list(rows), PAGES_SCHEMA) \
+            .write.mode("append").parquet(str(tmp_path / "src"))
+
+    # batch 1: url A and a watermark-carrier url W
+    land(page("http://a.example/", (2016, 1, 1)),
+         page("http://w.example/", (2016, 1, 1)))
+    drain("ttl", ttl=24.0)
+    # batch 2: W advances the watermark far past A's 24h TTL
+    land(page("http://w.example/", (2018, 1, 1)))
+    drain("ttl", ttl=24.0)
+    # batch 3: another W row makes a batch run WITH the advanced watermark,
+    # firing A's timeout (a group with no data gets the hasTimedOut call)
+    land(page("http://w.example/", (2018, 1, 2)))
+    drain("ttl", ttl=24.0)
+    # batch 4: A's EXACT repeat (same text -> same simhash) re-emits,
+    # because its seen-set was evicted
+    land(page("http://a.example/", (2018, 6, 1)))
+    drain("ttl", ttl=24.0)
+    a_rows = [r for r in spark.read.parquet(
+        str(tmp_path / "outttl")).collect() if "a.example" in r.url]
+    assert len(a_rows) == 2  # emitted in 2016 AND again after eviction
+
+    # default (no TTL), same landed files in one fresh drain: exact D1
+    # parity — the repeat stays suppressed
+    drain("none", ttl=None)
+    a_rows_none = [r for r in spark.read.parquet(
+        str(tmp_path / "outnone")).collect() if "a.example" in r.url]
+    assert len(a_rows_none) == 1
