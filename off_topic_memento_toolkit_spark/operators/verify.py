@@ -91,23 +91,31 @@ def lcs_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(map(_ratio, zip(a, b)))
 
 
-def _attach_pair_payload(pairs: DataFrame, docs: DataFrame,
-                         id_col: str, payload_col: str) -> DataFrame:
-    # prune docs to the pair ENDPOINTS before shipping payloads into the
-    # joins: endpoints are candidate-sized (≤ 2·|pairs|, tiny vs the
-    # corpus), so the broadcast semi-join keeps the corpus payload scan
-    # map-only instead of shuffling every token array / text blob through
-    # two sort-merge joins (same prune the incremental path applies,
-    # operators/incremental.py build_verified)
+def prune_docs_to_pair_endpoints(pairs: DataFrame, docs: DataFrame,
+                                 id_col: str) -> DataFrame:
+    """Restrict ``docs`` to the pair ENDPOINTS with a broadcast semi-join:
+    endpoints are candidate-sized (≤ 2·|pairs|, tiny vs the corpus), so the
+    corpus payload scan stays map-only instead of shuffling every token
+    array / text blob through the verify joins.
+
+    Call it at the PIPELINE layer, where ``pairs`` is a materialized stage
+    (dedup_pipeline and the incremental path both do) — the prune traverses
+    ``pairs`` a second time, which is a cheap re-read of a checkpointed
+    stage but would re-run the whole banding-UDF lineage on a raw
+    composition, which is why verified_pairs_* don't apply it themselves."""
     endpoints = F.broadcast(
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct())
-    pruned = docs.join(endpoints, id_col, "left_semi")
-    left = pruned.select(F.col(id_col).alias("id_a"),
-                         F.col(payload_col).alias("_payload_a"))
-    right = pruned.select(F.col(id_col).alias("id_b"),
-                          F.col(payload_col).alias("_payload_b"))
+    return docs.join(endpoints, id_col, "left_semi")
+
+
+def _attach_pair_payload(pairs: DataFrame, docs: DataFrame,
+                         id_col: str, payload_col: str) -> DataFrame:
+    left = docs.select(F.col(id_col).alias("id_a"),
+                       F.col(payload_col).alias("_payload_a"))
+    right = docs.select(F.col(id_col).alias("id_b"),
+                        F.col(payload_col).alias("_payload_b"))
     return pairs.join(left, "id_a").join(right, "id_b")
 
 

@@ -205,17 +205,25 @@ def dedup_pipeline(
     def build_verified():
         if not verify:
             return candidates
+        # prune the corpus to the pair endpoints before the payload joins —
+        # candidates is a materialized stage here, so the prune's second
+        # traversal of it is a cheap re-read (see
+        # verify.prune_docs_to_pair_endpoints; the incremental path applies
+        # the same prune)
+        from ..operators.verify import prune_docs_to_pair_endpoints
+
+        pruned_docs = prune_docs_to_pair_endpoints(candidates, docs, "nid")
         if verify_method == "lcs":
             # suffix-array-equivalent longest-common-substring check
             # (north_rule channel; rolling-hash binary search per pair)
             return verified_pairs_lcs(
-                candidates, docs, id_col="nid", text_col="text",
+                candidates, pruned_docs, id_col="nid", text_col="text",
                 min_ratio=min_lcs_ratio,
             ).select("id_a", "id_b")
         if verify_method != "jaccard":
             raise ValueError(f"unknown verify_method {verify_method!r}")
         return verified_pairs_jaccard(
-            candidates, docs, id_col="nid", tokens_col="tokens",
+            candidates, pruned_docs, id_col="nid", tokens_col="tokens",
             min_jaccard=min_jaccard,
         ).select("id_a", "id_b")
 
