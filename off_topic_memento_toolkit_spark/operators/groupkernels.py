@@ -21,6 +21,14 @@ Numerics:
 Memory: a group holds one timeline. For pathological hosts, cap with
 ``max_docs_per_timeline`` (scores beyond the cap get an error row rather than
 a silently-wrong fit).
+
+First-memento gating is deliberately DIFFERENT from the pairwise path,
+because the reference's is: the grouped functions gate on the first
+memento's TEXT length (timemap_measures.py:604 ``len(first_data) == 0``)
+and PROCEED when the text is all stopwords/punctuation — sklearn zero-rows
+the empty-token document and every cosine to it is 0.0 — while the
+pairwise functions gate on token emptiness.  Do not "unify" the two gates;
+parity requires mirroring each family's own rule.
 """
 
 import numpy as np
@@ -142,7 +150,12 @@ def make_group_kernel(measures, num_topics_overrides=None,
     overrides = num_topics_overrides or {}
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["warc_ts", "urim"], kind="mergesort")
+        # NULLS FIRST, matching the pairwise path's Spark window ordering
+        # (ascending nulls-first) — pandas defaults NaT LAST, which would
+        # anchor the grouped measures on a different "first memento" than
+        # the pairwise measures whenever a warc_ts failed to parse
+        pdf = pdf.sort_values(["warc_ts", "urim"], kind="mergesort",
+                              na_position="first")
         urit = pdf["urit"].iloc[0]
         text_len = pdf["text_len"]
         out = []

@@ -217,6 +217,8 @@ def score_timemap_measures(
     unknown = [m for m in measures if m not in MEASURE_REGISTRY]
     if unknown:
         raise ValueError(f"unsupported measures: {unknown}")
+    if not measures:
+        raise ValueError("measures must name at least one measure")
     thresholds = {**{m: MEASURE_REGISTRY[m]["threshold"] for m in measures},
                   **(thresholds or {})}
 
@@ -235,8 +237,12 @@ def score_timemap_measures(
     if pairwise and grouped:
         # the union fans out into two plan branches; without a persist the
         # extract/tokenize UDFs would run once per branch (the reference's
-        # 12x-repreprocess bug reborn at plan level — SURVEY §4.1)
-        df = df.persist()
+        # 12x-repreprocess bug reborn at plan level — SURVEY §4.1).
+        # Registered so long-lived sessions can release between batches
+        # (session.release_session_pins).
+        from ..session import pin_for_session
+
+        df = pin_for_session(df)
 
     entries = []
     for name in pairwise:
@@ -374,13 +380,18 @@ def with_error_kinds(
         return keyed.select(*columns)
 
     if memento_access is not None:
-        cols = ["urim", "error_msg"] + (
+        # ONE error per memento, like the reference's dict-keyed error
+        # model: multiple access records for a urim (retries with distinct
+        # messages) collapse to the min message — a distinct() would keep
+        # one row PER MESSAGE and fan every score row out through the join.
+        # Aggregating (not distinct-ing) also keys the synthetic-row frame
+        # uniquely per urim (+urit for labeling).
+        agg_keys = ["urim"] + (
             ["urit"] if "urit" in memento_access.columns else [])
-        ma = memento_access.select(*cols).distinct()
-        # re-distinct AFTER dropping urit, else one urim under two urits
-        # would fan out every score row for it through the join
-        ma_join = ma.select(
-            "urim", F.col("error_msg").alias("_ma_msg")).distinct()
+        ma = memento_access.groupBy(*agg_keys).agg(
+            F.min("error_msg").alias("error_msg"))
+        ma_join = ma.groupBy("urim").agg(
+            F.min("error_msg").alias("_ma_msg"))
         df = (
             df.join(F.broadcast(ma_join), "urim", "left")
             .withColumn(
@@ -401,8 +412,8 @@ def with_error_kinds(
         df = df.unionByName(
             _synthetic_rows(missing, ERROR_KIND_MEMENTO_ACCESS))
     if timemap_access is not None:
-        ta = timemap_access.select(
-            "urit", F.col("error_msg").alias("_ta_msg")).distinct()
+        ta = timemap_access.groupBy("urit").agg(
+            F.min("error_msg").alias("_ta_msg"))
         df = df.join(F.broadcast(ta), "urit", "left")
         # a memento access error anywhere in the timemap clears its
         # timemap-level error (reference exclusivity)
@@ -429,7 +440,7 @@ def with_error_kinds(
         # one synthetic row; any existing row for the urit means the error
         # was either already applied by the window or cleared by exclusivity
         missing_tm = (
-            timemap_access.select("urit", "error_msg").distinct()
+            ta.withColumnRenamed("_ta_msg", "error_msg")
             .join(df.select("urit").distinct(), "urit", "left_anti")
         )
         df = df.unionByName(
