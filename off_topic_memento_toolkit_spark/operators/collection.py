@@ -33,7 +33,15 @@ def score_collection_measures(
 ) -> DataFrame:
     thresholds = {**{m: COLLECTION_THRESHOLDS[m]["threshold"] for m in measures},
                   **(thresholds or {})}
-    df = prepare_pages(pages)
+    # ONE narrow pinned projection (neither measure needs the simhashes)
+    # feeds the global count-distinct branch AND the per-row branch —
+    # without the pin each traversal would re-run the extract/tokenize
+    # UDFs over the whole corpus (session.release_session_pins releases)
+    from ..session import pin_for_session
+
+    df = pin_for_session(
+        prepare_pages(pages, need_raw_simhash=False, need_tf_simhash=False)
+        .select("urit", "urim", "tokens"))
     ok = df.filter(F.col("tokens").isNotNull())
     global_count = (
         ok.select(F.explode("tokens").alias("token"))
@@ -44,7 +52,11 @@ def score_collection_measures(
         .withColumn("n_distinct", F.size(F.array_distinct("tokens")))
     )
 
-    parts = []
+    error = F.when(
+        F.col("tokens").isNull(),
+        F.lit("Boilerplate could not be removed from memento"),
+    )
+    entries = []
     for measure in measures:
         if measure == "jaccard":
             score = (1.0 - F.col("n_distinct") / F.col("gn")).cast("double")
@@ -55,27 +67,31 @@ def score_collection_measures(
             ).cast("double")
         else:
             raise ValueError(measure)
-        error = F.when(
-            F.col("tokens").isNull(),
-            F.lit("Boilerplate could not be removed from memento"),
-        )
         threshold = float(thresholds[measure])
-        parts.append(
-            scored.select(
-                "urit", "urim",
-                F.lit("collection measures").alias("measuretype"),
+        entries.append(
+            F.struct(
                 F.lit(measure).alias("measure"),
                 F.when(error.isNull(), score).alias("comparison_score"),
-                F.lit(True).alias("tokenized"),
-                F.lit(True).alias("stemmed"),
-                F.lit(True).alias("removed_boilerplate"),
-                error.alias("error_msg"),
                 F.when(error.isNotNull(), F.lit(None).cast("string"))
                 .when(score > threshold, F.lit("off-topic"))
                 .otherwise(F.lit("on-topic")).alias("topic_status"),
             )
         )
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
-    return out
+    # every measure in one pass over the pinned frame (an explode of the
+    # per-measure structs), not one plan branch per measure
+    return (
+        scored.select(
+            "urit", "urim", error.alias("error_msg"),
+            F.explode(F.array(*entries)).alias("entry"))
+        .select(
+            "urit", "urim",
+            F.lit("collection measures").alias("measuretype"),
+            F.col("entry.measure").alias("measure"),
+            F.col("entry.comparison_score").alias("comparison_score"),
+            F.lit(True).alias("tokenized"),
+            F.lit(True).alias("stemmed"),
+            F.lit(True).alias("removed_boilerplate"),
+            "error_msg",
+            F.col("entry.topic_status").alias("topic_status"),
+        )
+    )

@@ -26,6 +26,29 @@ def release_persisted(pins: list) -> int:
     return released
 
 
+# process-wide registry of frames persisted by operators whose plans fan
+# out into multiple branches (the enriched frame in score_timemap_measures,
+# the token projection in score_collection_measures): without the persist
+# the extract/tokenize UDF lineage would re-run once per branch, and
+# without the registry a long-lived session would accumulate the cached
+# frames with no release handle (same hazard curation's ranking-pin
+# registry exists for)
+_SESSION_PINS: list = []
+
+
+def pin_for_session(df):
+    """Persist ``df`` and register it for :func:`release_session_pins`."""
+    _SESSION_PINS.append(df.persist())
+    return _SESSION_PINS[-1]
+
+
+def release_session_pins() -> int:
+    """Unpersist every operator-pinned frame; call between batches in a
+    long-lived session (or use ``spark.catalog.clearCache()``).  Safe once
+    the frames built so far have been consumed."""
+    return release_persisted(_SESSION_PINS)
+
+
 def get_spark(
     app_name: str = "otmt-spark",
     master: str | None = None,
