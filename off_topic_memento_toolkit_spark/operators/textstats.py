@@ -51,12 +51,20 @@ def language_id(df: DataFrame, text_col: str = "text",
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length, punctuation ratio, stopword ratio, distinct-token ratio —
-    the standard web-text quality screens (C4/Gopher-style)."""
+    the standard web-text quality screens (C4/Gopher-style).
+
+    Punctuation = anything outside Unicode letters/digits/underscore/
+    whitespace: Java's bare ``\\w`` is ASCII-only, so ``[^\\w\\s]`` would
+    count every CJK/Cyrillic/accented character as punctuation and
+    quality_ok would reject entire non-Latin languages."""
     text = F.col(text_col)
     tokens = _tokens(text)
-    n_tokens = F.size(tokens)
+    blank = F.length(F.trim(F.coalesce(text, F.lit("")))) == 0
+    # split('') yields [''] — report 0 tokens for empty/all-ws/null text
+    n_tokens = F.when(blank, F.lit(0)).otherwise(F.size(tokens))
     n_chars = F.length(text)
-    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    punct = n_chars - F.length(
+        F.regexp_replace(text, r"[^\p{L}\p{N}_\s]", ""))
     stop_hits = F.size(F.filter(tokens, lambda t: t.isin(_LANG_MARKERS["en"])))
     distinct_ratio = F.size(F.array_distinct(tokens)) / F.greatest(n_tokens, F.lit(1))
     mean_word_len = (
@@ -81,9 +89,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens plus a BPE-ish regex count (words, digits runs,
-    punctuation marks counted separately) — the usual budget estimator."""
-    text = F.col(text_col)
-    ws = F.size(F.split(F.trim(text), r"\s+"))
+    punctuation marks counted separately) — the usual budget estimator.
+    Empty/all-whitespace/null text counts 0 whitespace tokens (split('')
+    yields [''], which would inflate corpus budgets by one per empty
+    row)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(text), r"\s+")))
     bpe_ish = F.size(
         F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]|[^\sA-Za-z0-9])"), 1)
     )

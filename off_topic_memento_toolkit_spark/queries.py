@@ -315,7 +315,11 @@ FROM r"""
 
 def q_quality_features(d: _Dialect) -> str:
     toks = d.split_ws("coalesce(text, '')")
-    strip_punct = d.regexp_replace_all("coalesce(text, '')", r"[^\w\s]", "")
+    # Unicode letters/digits, not ASCII \w — Java's and RE2's bare \w would
+    # count every CJK/Cyrillic/accented char as punctuation (textstats.py
+    # applies the identical class)
+    strip_punct = d.regexp_replace_all(
+        "coalesce(text, '')", r"[^\p{L}\p{N}_\s]", "")
     strip_ws = d.regexp_replace_all("coalesce(text, '')", r"\s+", "")
     return f"""
 WITH t AS (
@@ -324,7 +328,8 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, n_chars,
-       {d.alen('toks')} AS n_tokens_ws,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE {d.alen('toks')} END AS n_tokens_ws,
        coalesce(round((n_chars - length({strip_punct}))
                       / nullif(n_chars, 0), 6),
                 cast('NaN' AS double)) AS punct_ratio,
@@ -337,7 +342,9 @@ FROM t"""
 def q_token_counts(d: _Dialect) -> str:
     return f"""
 SELECT doc_id,
-       {d.alen(d.split_ws("coalesce(text, '')"))} AS tokens_whitespace,
+       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+            ELSE {d.alen(d.split_ws("coalesce(text, '')"))} END
+         AS tokens_whitespace,
        {d.regexp_count("coalesce(text, '')",
                        '[A-Za-z]+|[0-9]|[^ A-Za-z0-9]')} AS tokens_bpe_ish
 FROM documents"""

@@ -238,3 +238,24 @@ def test_ivf_recall_improves_with_nprobe(spark):
         recalls.append(len(got & exact) / len(exact))
     assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
     assert recalls[-1] == 1.0, recalls  # probing every bucket = brute force
+
+
+def test_quality_unicode_punct_and_empty_counts(spark):
+    """Non-Latin letters are NOT punctuation (ASCII \\w would reject every
+    CJK/Cyrillic document), and empty/whitespace/null text counts 0
+    whitespace tokens (split('') yields [''])."""
+    df = spark.createDataFrame(
+        [(1, "你好 世界 这是 一个 测试 文档 质量 检查 通过 完成"),
+         (2, "héllo wörld ça va très bien aujourd'hui mes amis oui"),
+         (3, ""), (4, "   "), (5, None)],
+        "id long, text string")
+    q = {r.id: r for r in quality_features(df).collect()}
+    assert q[1].punct_ratio < 0.3 and q[1].quality_ok
+    assert q[2].punct_ratio < 0.3
+    assert q[3].n_tokens_ws == 0 and q[4].n_tokens_ws == 0
+
+    t = {r.id: r for r in token_counts(df).collect()}
+    assert t[3].tokens_whitespace == 0
+    assert t[4].tokens_whitespace == 0
+    assert t[5].tokens_whitespace == 0
+    assert t[1].tokens_whitespace == 10
