@@ -150,8 +150,17 @@ def train_ivf_centroids(
               corpus.select(F.col(vec_col), F.col(id_col))
               .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
               .limit(max_train).collect()]
+    if not sample:
+        raise ValueError(
+            "IVF training corpus is empty — nothing to sample centroids "
+            "from (an upstream filter removed every embedding?)")
+    widths = {len(v) for v in sample}
+    if len(widths) > 1:
+        raise ValueError(
+            f"ragged embedding widths in the training sample: "
+            f"{sorted(widths)[:5]} — every vector must have one dimension")
     X = np.asarray(sample, dtype=np.float64)
-    if dim is not None and X.ndim == 2 and X.shape[1] != dim:
+    if dim is not None and X.shape[1] != dim:
         raise ValueError(
             f"embedding width {X.shape[1]} != declared dim {dim}")
     norms = np.linalg.norm(X, axis=1)
