@@ -323,20 +323,43 @@ def quality_score(df: DataFrame, url_col: str = "url",
     and pass the column here, which exercises the −0.40 weight.  Default
     None = the service-absent branch (damage 0).
 
-    depth = slash count of the original URL past 'http://', after dropping a
-    trailing slash and the final character, divided by 10
-    (bin/select_high_quality:81-90 — quirks included)."""
-    url = F.col(url_col)
-    stripped = F.when(url.endswith("/"), F.expr(f"substring({url_col}, 1, length({url_col}) - 1)")).otherwise(url)
-    after_scheme = F.expr(
-        f"substring({'_stripped'}, 8, greatest(length({'_stripped'}) - 8, 0))"
-    )
-    host = F.parse_url(url, F.lit("HOST"))
+    Category and depth operate on the ORIGINAL URL the reference locates
+    INSIDE the URI-M with ``find('http', 10)`` (bin/select_high_quality:
+    44-52, 81-90) — quirks preserved verbatim:
 
+    - category parses ``urim[idx:]``; idx = -1 (no embedded 'http' at
+      0-based index ≥ 10 — e.g. a PLAIN original URL) slices the LAST
+      CHARACTER, whose urlparse has no hostname → the -1 branch;
+    - the hostname is LOWERCASED like ``urlparse().hostname``, so the
+      reference's case-sensitive 'USATODAY' pattern can never match;
+    - depth counts '/' in ``urim[idx+7:-1]`` (drops 'http://' and the
+      final character) after first dropping one trailing slash; idx = -1
+      degrades to ``urim[6:-1]``, exactly like the reference."""
+    url = F.col(url_col)
+    # category input: find('http', 10) on the RAW string (no slash strip)
+    cat_idx = F.locate("http", url, 11) - 1  # 0-based; locate 0 → -1
+    cat_src = (
+        F.when(cat_idx >= 0, url.substr(cat_idx + 1, F.length(url)))
+        .otherwise(url.substr(F.length(url), F.lit(1)))
+    )
+    host = F.lower(F.parse_url(cat_src, F.lit("HOST")))
+
+    # depth input: strip one trailing slash FIRST, then the same find
+    stripped = F.when(
+        url.endswith("/"),
+        F.expr(f"substring({url_col}, 1, length({url_col}) - 1)"),
+    ).otherwise(url)
     with_cols = df.withColumn("_stripped", stripped)
+    d_idx = F.locate("http", F.col("_stripped"), 11) - 1
+    # urim[idx+7:-1] in 1-based substring terms: start idx+8, length
+    # len-idx-8 — the SAME formula covers idx = -1 (python's [6:-1])
+    d_slice = F.col("_stripped").substr(
+        d_idx + 8,
+        F.greatest(F.length("_stripped") - d_idx - 8, F.lit(0)))
     depth = (
-        F.size(F.split(after_scheme, "/")) - 1
-    ) / 10.0
+        (F.length(d_slice)
+         - F.length(F.regexp_replace(d_slice, "/", ""))) / 10.0
+    )
     if damage_col is None:
         damage = F.lit(0.0)
     elif isinstance(damage_col, str):

@@ -141,7 +141,7 @@ WITH p AS (SELECT * FROM {_mat('stream_pages')}
 r AS (
   SELECT url, urim, urit, raw_simhash, n_tokens,
          row_number() OVER (PARTITION BY url, raw_simhash
-                            ORDER BY warc_ts, urim) AS rn
+                            ORDER BY warc_ts NULLS FIRST, urim) AS rn
   FROM p
 )
 SELECT url, urim, urit, raw_simhash, n_tokens FROM r WHERE rn = 1"""
@@ -198,14 +198,14 @@ WITH p AS (SELECT * FROM {_mat('stateful_pages')}
 firstseen AS (
   SELECT url, urim, warc_ts, raw_simhash FROM (
     SELECT p.*, row_number() OVER (PARTITION BY url, raw_simhash
-                                   ORDER BY warc_ts, urim) AS occ
+                                   ORDER BY warc_ts NULLS FIRST, urim) AS occ
     FROM p
   ) _f WHERE occ = 1
 ),
 lagged AS (
   SELECT url, urim, raw_simhash,
          coalesce(lag(raw_simhash) OVER (PARTITION BY url
-                                         ORDER BY warc_ts, urim), 0) AS prev
+                                         ORDER BY warc_ts NULLS FIRST, urim), 0) AS prev
   FROM firstseen
 )
 SELECT url, urim, raw_simhash FROM lagged
@@ -841,9 +841,13 @@ def q_curation_story(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # D1-D5 window arithmetic re-derived in SQL (bin/exclude_duplicates:67-106,
 # bin/slice_by_datetime:60-116, bin/cluster_by_simhash:72-95,
-# bin/select_high_quality:44-175 quirks preserved).  Host extraction mirrors
-# java.net.URI: no '<scheme>://' prefix → no authority → host NULL (the
-# 'from-warc::' urims), so category_score is the reference's -1 branch.
+# bin/select_high_quality:44-175 quirks preserved).  D4's category/depth
+# operate on the ORIGINAL URL located inside the URI-M with
+# find('http', 10), exactly like the reference: the 'from-warc::ts::http://
+# docs.example/siteN' urims yield host docs.example (no category pattern →
+# 0.0) and depth = slash count of the embedded path minus its last char;
+# a string with no embedded 'http' at index ≥ 10 degrades to the last-char
+# parse (host NULL → -1) and url[6:-1] depth, like the python original.
 SQL_CURATION_STORY = f"""
 WITH m AS (SELECT urit, urim, simhash, memento_datetime
            FROM {_mat('curation_meta')}),
@@ -898,14 +902,51 @@ clustered AS (
   FROM sliced s LEFT JOIN labels l
     ON s.slice_id = l.slice_id AND s.simhash = l.simhash
 ),
+embedded AS (
+  SELECT *,
+         -- find('http', 10): 0-based index of the embedded original URL
+         CASE WHEN strpos(substring(urim, 11), 'http') > 0
+              THEN strpos(substring(urim, 11), 'http') + 9 ELSE -1 END
+           AS cidx,
+         CASE WHEN urim LIKE '%/' THEN substring(urim, 1, length(urim) - 1)
+              ELSE urim END AS dstr
+  FROM clustered
+),
+hosted AS (
+  SELECT *,
+         nullif(lower(regexp_extract(
+             CASE WHEN cidx >= 0 THEN substring(urim, cidx + 1)
+                  ELSE substring(urim, length(urim), 1) END,
+             '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]+)', 1)), '') AS host,
+         CASE WHEN strpos(substring(dstr, 11), 'http') > 0
+              THEN strpos(substring(dstr, 11), 'http') + 9 ELSE -1 END
+           AS didx
+  FROM embedded
+),
 scored AS (
   SELECT urit, urim, slice_id, cluster_id,
-         0.15 * (CASE WHEN regexp_matches(urim, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
-                      THEN 0.0 ELSE -1.0 END)
-         + 0.45 * ((len(string_split(
-               substring(urim, 8, greatest(length(urim) - 8, 0)), '/')) - 1)
+         0.15 * (CASE
+           WHEN host IS NULL THEN -1.0
+           WHEN regexp_matches(host, 'twitter|t\\.co|redd\\.it|facebook|'
+               || 'fb\\.me|plus\\.google|wiki|globalvoicesonline|fbcdn')
+             THEN 0.5
+           -- 'USATODAY' stays case-sensitive against the lowercased host,
+           -- i.e. dead — the reference quirk, preserved
+           WHEN regexp_matches(host, 'cnn|bbc|news|rosaonline|aljazeera|'
+               || 'guardian|USATODAY|nytimes|abc|foxnews|allvoices|'
+               || 'huffingtonpost') THEN 0.7
+           WHEN regexp_matches(host, 'dailymotion|youtube|youtu\\.be')
+             THEN 0.7
+           WHEN regexp_matches(host, 'wordpress|blog') THEN 0.4
+           WHEN regexp_matches(host, 'flickr|flic\\.kr|instagram|twitpic')
+             THEN 0.6
+           ELSE 0.0 END)
+         + 0.45 * ((length(substring(dstr, didx + 8,
+                        greatest(length(dstr) - didx - 8, 0)))
+                    - length(replace(substring(dstr, didx + 8,
+                        greatest(length(dstr) - didx - 8, 0)), '/', '')))
              / 10.0) AS quality
-  FROM clustered
+  FROM hosted
 )
 SELECT urit, urim, slice_id, cluster_id, round(quality, 6) AS quality FROM (
   SELECT *, row_number() OVER (PARTITION BY slice_id, cluster_id
@@ -1010,7 +1051,7 @@ firsts AS (
          n_tokens AS f_n_tokens, raw_simhash AS f_raw_simhash,
          tf_simhash AS f_tf_simhash
   FROM (SELECT *, row_number() OVER (PARTITION BY urit
-                                     ORDER BY warc_ts, urim) AS rn FROM mi)
+                                     ORDER BY warc_ts NULLS FIRST, urim) AS rn FROM mi)
   WHERE rn = 1
 ),
 j AS (
@@ -1143,7 +1184,7 @@ li AS (SELECT li0.* FROM li0 JOIN clean USING (urit)),
 firsts AS (
   SELECT urit, urim AS f_urim, tokens AS f_tokens
   FROM (SELECT *, row_number() OVER (PARTITION BY urit
-                                     ORDER BY warc_ts, urim) AS rn FROM li)
+                                     ORDER BY warc_ts NULLS FIRST, urim) AS rn FROM li)
   WHERE rn = 1
 ),
 m AS (
@@ -1232,7 +1273,7 @@ l AS (SELECT li.* FROM li JOIN eligible e ON li.urit = e.urit),
 firsts AS (
   SELECT urit, urim AS f_urim
   FROM (SELECT urit, urim, row_number() OVER (PARTITION BY urit
-                                              ORDER BY warc_ts, urim) AS rn
+                                              ORDER BY warc_ts NULLS FIRST, urim) AS rn
         FROM l) _f
   WHERE rn = 1
 ),

@@ -116,6 +116,11 @@ def test_slice_and_cluster(spark, meta):
 
 
 def test_quality_and_representatives(spark):
+    """Reference-faithful D4: category and depth operate on the original
+    URL located INSIDE the URI-M with find('http', 10) — a PLAIN original
+    URL has no embedded 'http' at index >= 10, so it lands in the -1
+    category branch and depth degrades to url[6:-1] slash-counting
+    (bin/select_high_quality:44-52,81-90, quirks verbatim)."""
     rows = [
         ("http://news.example/a/b/c/", "u1", 0, 0),
         ("http://blog.example/a", "u2", 0, 0),
@@ -124,13 +129,57 @@ def test_quality_and_representatives(spark):
     df = spark.createDataFrame(rows, "url string, urim string, slice_id int, cluster_id int")
     scored = quality_score(df)
     got = {r.urim: r for r in scored.collect()}
-    # news host -> 0.7 category; depth of 'ews.example/a/b/c' = 3/10
-    assert got["u1"].category_score == pytest.approx(0.7)
-    assert got["u1"].quality == pytest.approx(0.15 * 0.7 + 0.45 * 0.3)
-    assert got["u2"].category_score == pytest.approx(0.4)
-    assert got["u3"].category_score == pytest.approx(0.0)
+    # plain URLs: find('http', 10) = -1 -> category -1 for every row
+    for u in ("u1", "u2", "u3"):
+        assert got[u].category_score == pytest.approx(-1.0)
+    # depth of url[6:-1] (trailing slash dropped first): u1 ->
+    # '/news.example/a/b/' = 4 slashes
+    assert got["u1"].depth_score == pytest.approx(0.4)
+    assert got["u1"].quality == pytest.approx(0.15 * -1.0 + 0.45 * 0.4)
+    assert got["u2"].depth_score == pytest.approx(0.2)
+    assert got["u3"].depth_score == pytest.approx(0.3)
     top = select_representatives(scored).collect()
     assert len(top) == 1 and top[0].urim == "u1"
+
+
+def test_quality_embedded_original_url(spark):
+    """URI-M-shaped inputs (the reference's actual domain): the category
+    hostname comes from the EMBEDDED original URL, and depth counts the
+    embedded path's slashes — mirrored against a literal python
+    transcription of the reference functions."""
+    from urllib.parse import urlparse
+
+    def ref_category(urim):  # bin/select_high_quality:44-79
+        original = urim[urim.find("http", 10):]
+        host = urlparse(original).hostname
+        if host is None:
+            return -1.0
+        import re as _re
+        if _re.search("twitter|t.co|redd.it|facebook|fb.me|plus.google"
+                      "|wiki|globalvoicesonline|fbcdn", host):
+            return 0.5
+        return 0.0
+
+    def ref_depth(urim):  # bin/select_high_quality:81-90
+        if urim.endswith("/"):
+            urim = urim[:-1]
+        idx = urim.find("http", 10)
+        return urim[idx + 7:-1].count("/") / 10.0
+
+    urims = [
+        "http://archive.example/web/20160101/http://twitter.com/a/b",
+        "http://archive.example/web/20160101/http://plain.example/x/",
+        "from-warc::20160101000000::http://docs.example/site7",
+        "http://nohost.example/only",  # no embedded http -> -1 branch
+    ]
+    df = spark.createDataFrame([(u, u, 0, 0) for u in urims],
+                               "url string, urim string, "
+                               "slice_id int, cluster_id int")
+    got = {r.urim: r for r in quality_score(df).collect()}
+    for u in urims:
+        assert got[u].category_score == pytest.approx(ref_category(u)), u
+        assert got[u].depth_score == pytest.approx(ref_depth(u)), u
+    assert got[urims[0]].category_score == pytest.approx(0.5)  # twitter
 
 
 def test_quality_damage_hook_changes_representative(spark):
@@ -153,7 +202,7 @@ def test_quality_damage_hook_changes_representative(spark):
     got = {r.urim: r for r in scored.collect()}
     assert got["u1"].damage_score == pytest.approx(0.9)
     assert got["u1"].quality == pytest.approx(
-        -0.40 * 0.9 + 0.15 * 0.7 + 0.45 * 0.3)
+        -0.40 * 0.9 + 0.15 * -1.0 + 0.45 * 0.4)
     assert got["u2"].damage_score == 0.0  # null → service-absent default
 
     top = select_representatives(scored).collect()
@@ -161,7 +210,7 @@ def test_quality_damage_hook_changes_representative(spark):
 
     # damage_col=None stays byte-compatible with the default D4 path
     undamaged = {r.urim: r.quality for r in quality_score(df).collect()}
-    assert undamaged["u1"] == pytest.approx(0.15 * 0.7 + 0.45 * 0.3)
+    assert undamaged["u1"] == pytest.approx(0.15 * -1.0 + 0.45 * 0.4)
 
 
 def test_global_position_cache_pool_release(spark):
