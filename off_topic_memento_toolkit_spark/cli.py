@@ -527,6 +527,12 @@ def main(argv=None, spark=None):
             # from bands, and a docs-derived guard would make the --repair
             # rerun drop the batch's band rows forever (bands would then
             # silently miss every future near-dup against this batch).
+            # Re-ingest content assumption: urim ≡ (url, warc_ts), so a
+            # re-ingested id names the SAME capture and its payload is
+            # assumed identical — the promote keeps the base's existing
+            # docs/bands rows.  (The increment's own candidate/verify
+            # stages use the new rows either way; see
+            # operators/incremental.py's re-ingest rule.)
             batch_ids = result["docs"].select("nid").distinct()
             known_doc_ids = base_docs.select("nid").join(
                 F.broadcast(batch_ids), "nid", "left_semi")

@@ -506,8 +506,18 @@ def incremental_dedup_update(
         )
         if broadcast_new_keys:
             endpoints = F.broadcast(endpoints)
+        # re-ingest rule, same as the candidate stage (_delta_touching_pairs):
+        # a nid present in BOTH tables is represented by its NEW row only.
+        # Without the anti-join the union carries two token rows per
+        # re-ingested nid, and the verify equi-join fans every such pair out
+        # — duplicate verified rows (which a promote would insert into the
+        # evidence table) and verdicts computed against the STALE base tokens.
+        batch_ids = new_docs.select("nid").distinct()
+        if broadcast_new_keys:
+            batch_ids = F.broadcast(batch_ids)
         all_docs = (
             base_docs.select("nid", "tokens")
+            .join(batch_ids, "nid", "left_anti")
             .unionByName(new_docs.select("nid", "tokens"))
             .join(endpoints, "nid", "left_semi")
         )

@@ -528,6 +528,14 @@ class IcebergCheckpointStore:
                            f"ON {cond} WHEN MATCHED THEN DELETE")
             self.spark.catalog.dropTempView(view)
         persisted = self.spark.read.table(table)
+        # Counter note for corpus scale: this groupBy recounts the whole
+        # table (fine at checkpoint-test scale; the parquet backend carries
+        # untouched-bucket counters forward instead).  On a real deployment
+        # derive the rows-per-partition from Iceberg's own metadata table —
+        # ``SELECT partition, sum(record_count) FROM {table}.files GROUP BY
+        # partition`` — an O(manifest) metadata scan, zero data reads; kept
+        # as the data-path count here because the jar-less sandbox cannot
+        # exercise the metadata-table dialect.
         per_partition = _per_partition_counts(persisted)
         new_marker = _build_marker(
             stage, self.run_id, self._current_snapshot(stage), table,

@@ -175,8 +175,13 @@ def dedup_pipeline(
     if store is None:
         # downstream stages (minhash bands, simhash chunks, verify join) each
         # traverse docs; without the checkpoint table, cache it so the
-        # extract/tokenize/simhash UDF lineage runs once
-        docs = docs.persist()
+        # extract/tokenize/simhash UDF lineage runs once.  Registered in the
+        # session pin registry so long-lived sessions running many storeless
+        # pipelines can drain the cache (session.release_session_pins) —
+        # same contract as the measure/collection operator pins.
+        from ..session import pin_for_session
+
+        docs = pin_for_session(docs)
 
     def build_bands():
         # checkpointed as its OWN stage: the band table is the corpus state

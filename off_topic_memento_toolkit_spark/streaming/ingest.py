@@ -253,11 +253,12 @@ def streaming_incremental_candidates(
     # lifetime; each micro-batch then drops them with a map-side broadcast
     # anti-join.  The base is a committed checkpoint stage (immutable until
     # the next promote rebuilds the stream), so caching it is sound.
-    hot_keys = (
+    from ..session import pin_for_session
+
+    hot_keys = pin_for_session(
         base_bands.groupBy("band", "band_hash").count()
         .filter(F.col("count") > max_bucket_size)
         .select("band", "band_hash")
-        .persist()
     )
     bounded_base = (
         base_bands.join(F.broadcast(hot_keys), ["band", "band_hash"],

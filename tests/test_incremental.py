@@ -437,6 +437,67 @@ def test_incremental_remove_whole_cluster_and_unknown_id(spark):
 
 # --------------------------------------------------------------- end-to-end
 
+def test_incremental_update_reingest_verify_uses_new_tokens(spark):
+    """The verify stage applies the same re-ingest rule as the candidate
+    stage: a nid present in base AND batch is represented by its NEW row
+    only.  Two regressions pinned:
+    - no duplicate verified rows (the old base∪new union carried two token
+      rows per re-ingested nid, fanning the verify equi-join out — and a
+      bucketed --promote would insert the duplicates into verified_edges);
+    - the verdict is computed against the NEW tokens, not the stale base
+      ones (a re-crawled page that drifted below the threshold must not
+      stay verified on the strength of its old content)."""
+    from off_topic_memento_toolkit_spark.operators.timeline import (
+        prepare_pages,
+    )
+
+    words = [f"tok{i}" for i in range(100)]
+    y_text = " ".join(words)
+    x_old = y_text                                  # identical to Y
+    x_new = " ".join(words[:80] + [f"new{i}" for i in range(20)])
+
+    def _pages(rows):
+        return spark.createDataFrame(
+            [(u, t, f"<html><body><p>{body}</p></body></html>".encode(),
+              None, "en") for u, t, body in rows],
+            "url string, ts long, html binary, text string, lang string",
+        ).select("url", F.timestamp_seconds("ts").alias("warc_ts"),
+                 "html", "text", "lang")
+
+    base_pages = _pages([("http://x.example/", 1000, x_old),
+                         ("http://y.example/", 2000, y_text)])
+    # the batch RE-INGESTS x (same url+warc_ts → same urim/nid, new content)
+    new_pages = _pages([("http://x.example/", 1000, x_new)])
+
+    base_docs = prepare_pages(base_pages, need_tf_simhash=False).select(
+        F.xxhash64("urim").alias("nid"), "urim", "text", "tokens",
+        "raw_simhash")
+    base_bands = minhash_band_table(base_docs, id_col="nid",
+                                    tokens_col="tokens")
+    prior = base_docs.select(F.col("nid"), F.col("nid").alias("component"))
+
+    result = incremental_dedup_update(
+        base_docs, base_bands, prior, new_pages,
+        use_simhash_channel=False, min_jaccard=0.9)
+
+    nid_x = base_docs.filter(F.col("urim").contains("x.example")) \
+        .first()["nid"]
+    nid_y = base_docs.filter(F.col("urim").contains("y.example")) \
+        .first()["nid"]
+    pair = (min(nid_x, nid_y), max(nid_x, nid_y))
+
+    # the candidate channel must surface the pair (new x still shares 80%
+    # of its shingles with y) or the test is vacuous
+    assert pair in _pairs_set(result["candidates"])
+    verified_rows = [(r.id_a, r.id_b) for r in result["verified"].collect()]
+    # no stale-token verdict: new-x vs y token jaccard is 80/120 < 0.9,
+    # while the STALE base x row was identical to y and would have passed
+    assert pair not in set(verified_rows)
+    # no fan-out duplicates from the re-ingested nid
+    assert len(verified_rows) == len(set(verified_rows))
+    result["unpersist"]()
+
+
 def test_incremental_update_matches_batch_recompute(spark, tmp_path):
     """Full e2e on sf0.001 pages: base batch deduped, delta folded in via
     incremental_dedup_update == batch dedup_pipeline over base ∪ delta.
