@@ -206,6 +206,16 @@ def dedup_pipeline(
         return minhash_pairs.union(simhash_pairs).distinct()
 
     candidates = stage("candidate_edges", build_candidates)
+    if store is None and verify:
+        # the verify stage traverses candidates TWICE (endpoint prune +
+        # pair join).  With a store that second traversal is a cheap
+        # re-read of the committed stage table; without one it would
+        # re-run the entire banding/pair-expand lineage — pin the pair
+        # frame (narrow: two longs per row), registered for
+        # session.release_session_pins like the docs pin above.
+        from ..session import pin_for_session
+
+        candidates = pin_for_session(candidates)
 
     def build_verified():
         if not verify:
