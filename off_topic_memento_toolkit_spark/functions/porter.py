@@ -230,12 +230,28 @@ def _step5b(word):
 
 @lru_cache(maxsize=65536)
 def porter_stem(word: str) -> str:
-    """Stem one word (lowercasing it first, as the reference's stemmer does)."""
+    """Stem one word, lowercasing it as part of stemming — EXCEPT the two
+    deliberate NLTK quirks below, both transcribed verbatim from
+    ``nltk.stem.porter.PorterStemmer.stem`` (NLTK_EXTENSIONS mode, the
+    reference's stemmer):
+
+    - the irregular-forms pool is probed with the ORIGINAL-cased word
+      (``word in pool``) but returns the lowercased pool entry — so
+      'Sky' misses the pool and goes through the rules;
+    - words of length <= 2 return the ORIGINAL-cased word, NOT the
+      lowercase stem (``return word``, before any lowercasing applies) —
+      so 'Is'/'It'/'We' survive as-is and, because stopword removal runs
+      AFTER stemming on lowercase stopwords, sentence-initial short
+      stopwords are KEPT in the token stream.  That is the reference's
+      behavior too (nltk runs the same early return); do not "fix" either
+      side alone — tests/test_golden_kernels.py pins it.
+    """
     stem = word.lower()
     if word in _IRREGULAR:
         return _IRREGULAR[stem]
     if len(word) <= 2:
-        # strings of length 1-2 skip stemming entirely (NLTK behavior)
+        # strings of length 1-2 skip stemming entirely (NLTK behavior,
+        # case preserved — see docstring)
         return word
     stem = _step1a(stem)
     stem = _step1b(stem)

@@ -147,13 +147,15 @@ def train_ivf_centroids(
     Plain Lloyd iterations with seeded init; cosine geometry via l2-normalized
     vectors so argmax-dot == argmax-cosine."""
     sample = [list(r[0]) for r in
-              corpus.select(F.col(vec_col), F.col(id_col))
+              corpus.filter(F.col(vec_col).isNotNull())
+              .select(F.col(vec_col), F.col(id_col))
               .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
               .limit(max_train).collect()]
     if not sample:
         raise ValueError(
             "IVF training corpus is empty — nothing to sample centroids "
-            "from (an upstream filter removed every embedding?)")
+            "from (an upstream filter removed every embedding, or every "
+            "row's embedding is NULL — e.g. unfiltered decode-error rows?)")
     widths = {len(v) for v in sample}
     if len(widths) > 1:
         raise ValueError(
@@ -298,12 +300,10 @@ def embedding_near_duplicates(
         (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)).drop("_n")
     buckets = bounded_rows.groupBy("bucket").agg(
         F.collect_list(F.struct("id", "vec")).alias("members"))
-    expand = (
-        "flatten(transform(members, (x, i) -> "
-        "transform(slice(members, i + 2, size(members) - i - 1), "
-        "y -> struct(x AS u, y AS v))))"
-    )
-    pairs = buckets.select(F.explode(F.expr(expand)).alias("p"))
+    from .lsh import pair_expand_expr
+
+    pairs = buckets.select(
+        F.explode(F.expr(pair_expand_expr("members"))).alias("p"))
     return (
         pairs.withColumn(
             "cosine", cosine_similarity_col(F.col("p.u.vec"), F.col("p.v.vec")))

@@ -99,19 +99,39 @@ def select_by_language(df: DataFrame, language: str,
     return df.filter(F.col(lang_col) == language)
 
 
-def exclude_duplicates(meta: DataFrame, threshold: float = 0.2) -> DataFrame:
+def exclude_duplicates(meta: DataFrame, threshold: float = 0.2,
+                       first_seen_skip: bool = False) -> DataFrame:
     """D1 — returns the NON-duplicate rows (bin/exclude_duplicates).
 
     Input needs: urit, urim, simhash (64-bit value, signed long), and an
     order column ``memento_datetime``.
+
+    The reference tool has TWO control flows and they differ:
+
+    - ``first_seen_skip=False`` (default — the tool run WITHOUT a
+      consideration file, bin/exclude_duplicates:95-106): every memento is
+      compared to the immediately previous one and ``previous_simhash``
+      updates on EVERY row; a simhash value recurring later in the timeline
+      (an oscillating page: A, B, A) is re-emitted whenever it differs from
+      its immediate predecessor.
+    - ``first_seen_skip=True`` (the consideration-file branch, :78-93): a
+      simhash value already seen in this timeline is skipped outright
+      (``prior_simhashes`` set) and the skipped row does NOT update
+      ``previous_simhash`` — so the lag chain runs over first occurrences
+      only.  Callers modeling the consideration run should apply
+      :func:`consider_only` first, then this with ``first_seen_skip=True``
+      (the reference checks membership inside the same loop, which is
+      equivalent because non-considered rows touch no state either).
     """
     order = ("memento_datetime", "urim")
-    seen_window = Window.partitionBy("urit", "simhash").orderBy(*order)
-    first_seen = meta.withColumn("_occurrence", F.row_number().over(seen_window)) \
-                     .filter(F.col("_occurrence") == 1).drop("_occurrence")
+    if first_seen_skip:
+        seen_window = Window.partitionBy("urit", "simhash").orderBy(*order)
+        meta = meta.withColumn(
+            "_occurrence", F.row_number().over(seen_window)
+        ).filter(F.col("_occurrence") == 1).drop("_occurrence")
 
     lag_window = Window.partitionBy("urit").orderBy(*order)
-    with_prev = first_seen.withColumn(
+    with_prev = meta.withColumn(
         "_prev_simhash", F.lag("simhash", 1, 0).over(lag_window)
     )
     distance = F.bit_count(F.col("simhash").bitwiseXOR(F.col("_prev_simhash")))
@@ -289,7 +309,12 @@ def cluster_by_simhash(sliced: DataFrame) -> DataFrame:
 
 
 def _category_column(host):
-    """Hostname → category weight (bin/select_high_quality:44-79)."""
+    """Hostname → category weight (bin/select_high_quality:44-79).
+
+    The reference's patterns ('.*t.co.*', '.*redd.it.*', ...) leave the
+    dots UNESCAPED — ``.`` is an any-char wildcard there, so e.g.
+    'tacoma.com' ('t'+'a'+'co') is categorized as t.co/0.5 by the
+    reference.  Preserved verbatim: do NOT escape the dots."""
     def any_match(*patterns):
         cond = F.lit(False)
         for p in patterns:
@@ -298,15 +323,15 @@ def _category_column(host):
 
     return (
         F.when(host.isNull(), F.lit(-1.0))
-        .when(any_match("twitter", r"t\.co", r"redd\.it", "facebook", r"fb\.me",
-                        r"plus\.google", "wiki", "globalvoicesonline", "fbcdn"),
+        .when(any_match("twitter", "t.co", "redd.it", "facebook", "fb.me",
+                        "plus.google", "wiki", "globalvoicesonline", "fbcdn"),
               0.5)
         .when(any_match("cnn", "bbc", "news", "rosaonline", "aljazeera",
                         "guardian", "USATODAY", "nytimes", "abc", "foxnews",
                         "allvoices", "huffingtonpost"), 0.7)
-        .when(any_match("dailymotion", "youtube", r"youtu\.be"), 0.7)
+        .when(any_match("dailymotion", "youtube", "youtu.be"), 0.7)
         .when(any_match("wordpress", "blog"), 0.4)
-        .when(any_match("flickr", r"flic\.kr", "instagram", "twitpic"), 0.6)
+        .when(any_match("flickr", "flic.kr", "instagram", "twitpic"), 0.6)
         .otherwise(0.0)
     )
 

@@ -46,7 +46,6 @@ DEFAULT_MEASURES = ("cosine",)  # bin/detect_off_topic:62 — default is cosine 
 from .measures_constants import FIRST_BP_ERROR_MSG, FIRST_EMPTY_MSG  # noqa: E402
 
 ROW_BP_ERROR_MSG = "Boilerplate could not be removed from memento"
-ROW_ACCESS_ERROR_MSG = "Errors were recorded while attempting to access URI-M"
 
 _GROUP_KERNELS = ("cosine", "gensim_lsi", "gensim_lda")
 

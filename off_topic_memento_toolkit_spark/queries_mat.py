@@ -851,19 +851,15 @@ def q_curation_story(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CURATION_STORY = f"""
 WITH m AS (SELECT urit, urim, simhash, memento_datetime
            FROM {_mat('curation_meta')}),
-firstseen AS (
-  SELECT urit, urim, simhash, memento_datetime FROM (
-    SELECT m.*, row_number() OVER (PARTITION BY urit, simhash
-                                   ORDER BY memento_datetime, urim) AS occ
-    FROM m
-  ) _f WHERE occ = 1
-),
+-- no-consideration D1 (bin/exclude_duplicates:95-106): pure lag compare,
+-- prev updates on EVERY row — no first-seen skip (that belongs to the
+-- consideration-file branch only, :78-93)
 lagged AS (
   SELECT urit, urim, simhash, memento_datetime,
          coalesce(lag(simhash) OVER (PARTITION BY urit
                                      ORDER BY memento_datetime, urim),
                   0) AS prev
-  FROM firstseen
+  FROM m
 ),
 nondup AS (
   SELECT urit, urim, simhash, memento_datetime FROM lagged
@@ -927,18 +923,19 @@ scored AS (
   SELECT urit, urim, slice_id, cluster_id,
          0.15 * (CASE
            WHEN host IS NULL THEN -1.0
-           WHEN regexp_matches(host, 'twitter|t\\.co|redd\\.it|facebook|'
-               || 'fb\\.me|plus\\.google|wiki|globalvoicesonline|fbcdn')
+           -- dots UNESCAPED, as in the reference's '.*t.co.*' wildcards
+           WHEN regexp_matches(host, 'twitter|t.co|redd.it|facebook|'
+               || 'fb.me|plus.google|wiki|globalvoicesonline|fbcdn')
              THEN 0.5
            -- 'USATODAY' stays case-sensitive against the lowercased host,
            -- i.e. dead — the reference quirk, preserved
            WHEN regexp_matches(host, 'cnn|bbc|news|rosaonline|aljazeera|'
                || 'guardian|USATODAY|nytimes|abc|foxnews|allvoices|'
                || 'huffingtonpost') THEN 0.7
-           WHEN regexp_matches(host, 'dailymotion|youtube|youtu\\.be')
+           WHEN regexp_matches(host, 'dailymotion|youtube|youtu.be')
              THEN 0.7
            WHEN regexp_matches(host, 'wordpress|blog') THEN 0.4
-           WHEN regexp_matches(host, 'flickr|flic\\.kr|instagram|twitpic')
+           WHEN regexp_matches(host, 'flickr|flic.kr|instagram|twitpic')
              THEN 0.6
            ELSE 0.0 END)
          + 0.45 * ((length(substring(dstr, didx + 8,

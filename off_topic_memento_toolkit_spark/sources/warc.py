@@ -91,11 +91,18 @@ def _dechunk(body: bytes) -> bytes:
 def _split_http_response(payload: bytes):
     """HTTP response bytes → (status_line, headers dict, body bytes)."""
     sep = payload.find(b"\r\n\r\n")
-    if sep < 0:
-        sep = payload.find(b"\n\n")
-        head, body = payload[:sep], payload[sep + 2:]
-    else:
+    if sep >= 0:
         head, body = payload[:sep], payload[sep + 4:]
+    else:
+        sep = payload.find(b"\n\n")
+        if sep >= 0:
+            head, body = payload[:sep], payload[sep + 2:]
+        else:
+            # headers-only record (truncated response, no blank line):
+            # everything is head, the body is empty — slicing with the
+            # failed find()'s -1 would emit the HTTP headers themselves
+            # as page content
+            head, body = payload, b""
     lines = head.split(b"\n")
     status_line = lines[0].strip().decode("latin-1") if lines else ""
     headers = {}

@@ -109,12 +109,16 @@ def streaming_sequential_dedup(
     state_cap: int = 4096,
     state_ttl_hours: float | None = None,
 ) -> DataFrame:
-    """Custom stateful operator: the reference's SEQUENTIAL D1 rule
-    (bin/exclude_duplicates:67-106) as ``applyInPandasWithState`` per url —
-    exact-simhash repeats are suppressed against an ever-growing seen-set,
-    and a row survives only when its Hamming distance to the PREVIOUS
-    first-seen simhash exceeds ``threshold`` (prev starts at 0 and updates on
-    every first-seen row, emitted or not — the reference quirk).
+    """Custom stateful operator: the reference's SEQUENTIAL D1 rule in its
+    CONSIDERATION-branch form (bin/exclude_duplicates:78-93 — the seen-set
+    variant; batch twin ``exclude_duplicates(first_seen_skip=True)``) as
+    ``applyInPandasWithState`` per url — exact-simhash repeats are
+    suppressed against an ever-growing seen-set, and a row survives only
+    when its Hamming distance to the PREVIOUS first-seen simhash exceeds
+    ``threshold`` (prev starts at 0 and updates on every first-seen row,
+    emitted or not — the reference quirk).  The seen-set rule is the right
+    one for a stream (it is what makes the state idempotent under replay);
+    the no-consideration lag-only branch is batch-only.
 
     State per url: (prev simhash, seen-set).  The seen-set is CAPPED at
     ``state_cap`` values (~32 KB) — beyond it, exact repeats of *old* hashes

@@ -43,8 +43,13 @@ def _meta_rows():
     return rows
 
 
-def _oracle(rows, threshold=0.2):
-    """Line-for-line port of the bin scripts' control flow."""
+def _oracle(rows, threshold=0.2, first_seen_skip=False):
+    """Line-for-line port of the bin scripts' control flow.
+
+    ``first_seen_skip`` selects between bin/exclude_duplicates' two
+    branches: False = no consideration file (:95-106, prev updates on
+    EVERY row), True = the consideration-file branch (:78-93, a repeated
+    simhash is skipped and touches no state)."""
     by_urit = {}
     for urit, urim, shash, mdt in rows:
         by_urit.setdefault(urit, []).append((mdt, urim, shash))
@@ -56,9 +61,10 @@ def _oracle(rows, threshold=0.2):
     for urit in by_urit:
         prior, prev = [], 0
         for mdt, urim, shash in by_urit[urit]:
-            if shash in prior:
-                continue
-            prior.append(shash)
+            if first_seen_skip:
+                if shash in prior:
+                    continue
+                prior.append(shash)
             if bin(shash ^ prev).count("1") / 64 > threshold:
                 nondup.append(urim)
             prev = shash
@@ -104,6 +110,33 @@ def test_exclude_duplicates(spark, meta):
     expected, _, _ = _oracle(_meta_rows())
     got = {r.urim for r in exclude_duplicates(meta).collect()}
     assert got == expected
+
+
+def test_exclude_duplicates_first_seen_skip(spark, meta):
+    """Consideration-branch semantics: repeated simhashes skipped outright."""
+    expected, _, _ = _oracle(_meta_rows(), first_seen_skip=True)
+    got = {r.urim for r in
+           exclude_duplicates(meta, first_seen_skip=True).collect()}
+    assert got == expected
+
+
+def test_exclude_duplicates_oscillating_page(spark):
+    """A, B, A with all pairwise distances over threshold: the
+    no-consideration reference keeps all three (the second A differs from
+    its immediate predecessor B); the consideration branch drops the
+    revisit.  The two modes MUST disagree on this input — the regression
+    that motivated the mode split."""
+    a, b = (1 << 20) - 1, ((1 << 20) - 1) << 30   # 20 bits apart twice over
+    base = datetime(2016, 1, 1)
+    rows = [("t", f"m{i}", h, base + timedelta(days=i))
+            for i, h in enumerate([a, b, a])]
+    df = spark.createDataFrame(rows, schema=META_SCHEMA)
+    plain = {r.urim for r in exclude_duplicates(df, threshold=0.2).collect()}
+    skip = {r.urim for r in
+            exclude_duplicates(df, threshold=0.2,
+                               first_seen_skip=True).collect()}
+    assert plain == {"m0", "m1", "m2"}
+    assert skip == {"m0", "m1"}
 
 
 def test_slice_and_cluster(spark, meta):

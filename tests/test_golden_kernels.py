@@ -156,3 +156,29 @@ def test_lsi_kernel_analytic_goldens():
 
     sims1 = _lsi_similarity(docs, num_topics=1)
     assert all(abs(s - 1.0) < 1e-9 for s in sims1)
+
+
+def test_porter_short_word_case_preserved():
+    """NLTK's PorterStemmer.stem early-returns the ORIGINAL-cased word for
+    length<=2 tokens (`return word` runs before any lowercasing applies),
+    so capitalized short stopwords like 'Is'/'It'/'We' keep their case and
+    — because stopword removal runs AFTER stemming against the lowercase
+    stopset (reference quirk P4) — survive into the token stream.  The
+    reference inherits exactly this via nltk; pinned here so nobody
+    "fixes" one side alone (see porter.porter_stem docstring)."""
+    from off_topic_memento_toolkit_spark.functions.porter import porter_stem
+    from off_topic_memento_toolkit_spark.functions.textprep import (
+        full_tokenize,
+    )
+
+    assert porter_stem("Is") == "Is"
+    assert porter_stem("It") == "It"
+    assert porter_stem("is") == "is"
+    # length>2 words lowercase as part of stemming
+    assert porter_stem("Stemming") == "stem"
+
+    toks = full_tokenize("Is this on topic? It is. We think so.")
+    # capitalized short stopwords kept; lowercase 'is'/'so' and 'this'/'on'
+    # dropped by the stopset
+    assert "Is" in toks and "It" in toks and "We" in toks
+    assert "is" not in toks and "this" not in toks

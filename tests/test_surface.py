@@ -374,7 +374,8 @@ def test_streaming_stateful_sequential_dedup(spark, tmp_path):
         F.col("url").alias("urit"), "urim",
         F.col("raw_simhash").alias("simhash"),
         F.col("warc_ts").alias("memento_datetime"))
-    want = {r.urim for r in exclude_duplicates(meta, threshold=0.2).collect()}
+    want = {r.urim for r in exclude_duplicates(
+        meta, threshold=0.2, first_seen_skip=True).collect()}
     assert got == want and len(got) > 0
 
 
@@ -422,7 +423,8 @@ def test_streaming_stateful_dedup_multi_chunk_group(spark, tmp_path):
         F.col("url").alias("urit"), "urim",
         F.col("raw_simhash").alias("simhash"),
         F.col("warc_ts").alias("memento_datetime"))
-    want = {r.urim for r in exclude_duplicates(meta, threshold=0.2).collect()}
+    want = {r.urim for r in exclude_duplicates(
+        meta, threshold=0.2, first_seen_skip=True).collect()}
     assert got == want and len(got) > 0
 
 
@@ -708,7 +710,8 @@ def test_streaming_stateful_dedup_state_survives_restart(spark, tmp_path):
         F.col("url").alias("urit"), "urim",
         F.col("raw_simhash").alias("simhash"),
         F.col("warc_ts").alias("memento_datetime"))
-    want = {r.urim for r in exclude_duplicates(meta, threshold=0.2).collect()}
+    want = {r.urim for r in exclude_duplicates(
+        meta, threshold=0.2, first_seen_skip=True).collect()}
     assert got == want and len(got) > len(run1) > 0
 
 

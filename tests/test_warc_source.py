@@ -355,3 +355,26 @@ def test_warc_parser_fuzz_never_crashes():
             assert isinstance(r[1], _dt)
             assert isinstance(r[2], (bytes, bytearray))
             assert "text/html" in r[4]
+
+
+def test_headers_only_response_yields_empty_body():
+    """A response whose HTTP block never reaches the header/body blank line
+    (truncated capture) must yield an EMPTY body — before the fix the
+    failed find() sliced with -1 and emitted the HTTP headers themselves
+    as page html."""
+    http = (b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html\r\n")  # no terminating CRLFCRLF
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://trunc.example/\r\n"
+        b"WARC-Date: 2016-01-21T15:45:06Z\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"\r\n"
+    )
+    raw = head + http + b"\r\n\r\n" + _synthetic_warc()
+    rows = extract_pages_from_warc_bytes(raw, "trunc.warc")
+    by_uri = {r[0]: r for r in rows}
+    assert "http://trunc.example/" in by_uri
+    assert by_uri["http://trunc.example/"][2] == b""
+    assert b"Content-Type" not in by_uri["http://trunc.example/"][2]
