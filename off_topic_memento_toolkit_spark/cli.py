@@ -300,8 +300,17 @@ def main(argv=None, spark=None):
                            "(feed back via a consideration join)")
     filt.add_argument("-l", "--language",
                       help="keep only mementos with this language")
+    filt.add_argument("-c", "--consider",
+                      help="consideration list (one URI-M per line): "
+                           "restrict processing to the listed mementos; "
+                           "with --exclude-duplicates this also switches "
+                           "D1 to the reference's consideration branch "
+                           "(first-seen simhash skip, "
+                           "bin/exclude_duplicates:78-93)")
     filt.add_argument("--exclude-duplicates", action="store_true",
-                      help="apply the D1 sequential simhash rule")
+                      help="apply the D1 sequential simhash rule (without "
+                           "-c: the plain lag compare, "
+                           "bin/exclude_duplicates:95-106)")
     filt.add_argument("--threshold", type=float, default=0.2,
                       help="D1 hamming/64 threshold (default 0.2)")
 
@@ -744,6 +753,10 @@ def main(argv=None, spark=None):
         if not args.language and not args.exclude_duplicates:
             raise SystemExit(
                 "filter needs --language and/or --exclude-duplicates")
+        # F4 coupling, as in the reference tools: -c restricts the memento
+        # set first; for D1 it ALSO selects the consideration-branch
+        # control flow below
+        pages = _apply_consider(spark, pages, args.consider)
         if "text" not in pages.columns:
             # warc: frames carry (url, warc_ts, html, lang) only — text is
             # derived lazily from html by prepare_pages; align to the
@@ -770,7 +783,8 @@ def main(argv=None, spark=None):
         if args.exclude_duplicates:
             meta = memento_metadata(pages.select(
                 "url", "warc_ts", "html", "text", "lang"))
-            kept = exclude_duplicates(meta, threshold=args.threshold)
+            kept = exclude_duplicates(meta, threshold=args.threshold,
+                                      first_seen_skip=bool(args.consider))
             kept.select("urim").write.mode("overwrite").text(args.output)
         else:
             from .operators.timeline import with_memento_identity

@@ -1218,3 +1218,41 @@ def test_streaming_stateful_dedup_ttl_eviction(spark, tmp_path):
     a_rows_none = [r for r in spark.read.parquet(
         str(tmp_path / "outnone")).collect() if "a.example" in r.url]
     assert len(a_rows_none) == 1
+
+
+def test_cli_filter_consideration_switches_d1_branch(spark, tmp_path):
+    """filter -c <list> --exclude-duplicates must (a) restrict to the
+    listed mementos and (b) run the reference's consideration-branch D1
+    (first-seen simhash skip), not the plain lag rule — the coupling
+    bin/exclude_duplicates applies when -c is given."""
+    from off_topic_memento_toolkit_spark.cli import main
+    from off_topic_memento_toolkit_spark.operators.curation import (
+        consider_only,
+        exclude_duplicates,
+    )
+    from off_topic_memento_toolkit_spark.operators.measures import (
+        memento_metadata,
+    )
+    from off_topic_memento_toolkit_spark.sources.datagen import generate_pages
+
+    pages = generate_pages(spark, n_urls=6, mementos_per_url=5, skew=False,
+                           error_rows=False, dup_rate=0.5)
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+
+    meta_all = memento_metadata(spark.read.parquet(src))
+    # consideration list: a deterministic 2/3 subset of all urims
+    listed = meta_all.filter(F.xxhash64("urim") % 3 != 0).select("urim")
+    clist = str(tmp_path / "clist")
+    listed.write.text(clist)
+
+    out = str(tmp_path / "nondups_c")
+    main(["filter", "-i", f"pages:{src}", "-o", out, "-c", clist,
+          "--exclude-duplicates"], spark=spark)
+    got = {r.value for r in spark.read.text(out).collect()}
+
+    want = {r.urim for r in exclude_duplicates(
+        consider_only(meta_all, listed), first_seen_skip=True).collect()}
+    assert got == want and got
+    # and the restriction really applied: nothing outside the list
+    assert got <= {r.urim for r in listed.collect()}
