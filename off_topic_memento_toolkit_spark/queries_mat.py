@@ -839,6 +839,58 @@ def q_curation_story(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("quality", 6).alias("quality"))
 
 
+# ------------------------------------- exclude_duplicates (consideration)
+
+def q_exclude_duplicates_consideration(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """D1's OTHER control flow, hash-checked directly on the operator: the
+    consideration-file branch (bin/exclude_duplicates:78-93 — restrict to
+    the listed urims, skip any simhash already seen in the timeline, lag
+    over the survivors).  The consideration list is an operator INPUT, so
+    it is materialized alongside the meta and DuckDB re-derives the whole
+    rule independently (the plain no-consideration branch is covered by
+    curation_story's D1 stage)."""
+    from .operators.curation import consider_only, exclude_duplicates
+    from .operators.measures import memento_metadata
+
+    meta = memento_metadata(_pages(spark, sf_dir))
+    meta = _materialize(
+        meta.select("urit", "urim", "simhash", "memento_datetime"),
+        "curation_meta_consider",
+    )
+    # deterministic 2/3 subset — enough out-listed rows that the semi-join
+    # and the seen-set both do real work
+    consideration = _materialize(
+        meta.filter(F.xxhash64("urim") % 3 != 0).select("urim"),
+        "consideration_list",
+    )
+    kept = exclude_duplicates(consider_only(meta, consideration),
+                              threshold=0.2, first_seen_skip=True)
+    return kept.select("urit", "urim", "simhash")
+
+
+SQL_EXCLUDE_DUP_CONSIDER = f"""
+WITH m AS (SELECT urit, urim, simhash, memento_datetime
+           FROM {_mat('curation_meta_consider')}
+           WHERE urim IN (SELECT urim FROM {_mat('consideration_list')})),
+firstseen AS (
+  SELECT urit, urim, simhash, memento_datetime FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY urit, simhash
+                                   ORDER BY memento_datetime, urim) AS occ
+    FROM m
+  ) _f WHERE occ = 1
+),
+lagged AS (
+  SELECT urit, urim, simhash,
+         coalesce(lag(simhash) OVER (PARTITION BY urit
+                                     ORDER BY memento_datetime, urim),
+                  0) AS prev
+  FROM firstseen
+)
+SELECT urit, urim, simhash FROM lagged
+WHERE bit_count(xor(simhash, prev)) / 64.0 > 0.2"""
+
+
 # D1-D5 window arithmetic re-derived in SQL (bin/exclude_duplicates:67-106,
 # bin/slice_by_datetime:60-116, bin/cluster_by_simhash:72-95,
 # bin/select_high_quality:44-175 quirks preserved).  D4's category/depth
@@ -1532,6 +1584,7 @@ def mat_queries() -> dict:
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "curation_story": q_curation_story,
+        "exclude_duplicates_consideration": q_exclude_duplicates_consideration,
         "offtopic_measures_core": q_offtopic_measures_core,
         "levenshtein_vs_first": q_levenshtein_vs_first,
         "lsi_vs_first": q_lsi_vs_first,
@@ -1558,6 +1611,7 @@ def mat_oracle_sql() -> dict:
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "dedup_clusters_cc": SQL_DEDUP_CC,
         "curation_story": SQL_CURATION_STORY,
+        "exclude_duplicates_consideration": SQL_EXCLUDE_DUP_CONSIDER,
         "offtopic_measures_core": SQL_MEASURES_CORE,
         "levenshtein_vs_first": SQL_LEVENSHTEIN,
         "lsi_vs_first": SQL_LSI,
