@@ -87,9 +87,20 @@ def release_global_ranking_caches() -> int:
     return _release_pins(_PERSISTED_RANGED)
 
 
-def consider_only(df: DataFrame, consideration: DataFrame, key: str = "urim") -> DataFrame:
-    """F4 consideration-list semi-filter (bin/*:46-79) — broadcast semi-join."""
-    return df.join(F.broadcast(consideration.select(key).distinct()), key, "left_semi")
+def consider_only(df: DataFrame, consideration: DataFrame, key: str = "urim",
+                  broadcast: bool = True) -> DataFrame:
+    """F4 consideration-list semi-filter (bin/*:46-79).
+
+    ``broadcast=True`` (default) forces a broadcast semi-join — the right
+    shape for the reference's workflow, where the list is a tool output
+    (thousands to millions of urims).  Pass ``broadcast=False`` when the
+    list is corpus-sized (e.g. a full on-topic partition of a 10^12-doc
+    table): the semi-join then shuffles on the key like any equi-join and
+    AQE may still choose to broadcast if the list turns out small."""
+    keys = consideration.select(key).distinct()
+    if broadcast:
+        keys = F.broadcast(keys)
+    return df.join(keys, key, "left_semi")
 
 
 def select_by_language(df: DataFrame, language: str,
