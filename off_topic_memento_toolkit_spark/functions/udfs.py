@@ -92,12 +92,20 @@ def make_minhash_bands_udf(
     bands: int = DEFAULT_BANDS,
     seed: int = 1234567,
 ):
-    """array<long> of ``bands`` band-hashes per document (LSH keys)."""
+    """array<long> of ``bands`` band-hashes per document (LSH keys).
+
+    Empty token lists yield NULL (not the EMPTY_SLOT sentinel bands): a
+    downstream ``posexplode`` then drops those rows by itself, so band-table
+    builders need no post-UDF null/size filter — a filter on a UDF output is
+    exactly what the optimizer pushes below the enrichment exchange,
+    re-evaluating the whole extract→tokenize→minhash chain a second time on
+    the narrow pre-shuffle side (guide §4.4 duplication; measured 2.9 s of
+    single-task Python per bench run before this change)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_bands_udf(tokens: pd.Series) -> pd.Series:
         def _bands(value):
-            if value is None:
+            if value is None or len(value) == 0:
                 return None
             signature = minhash_signature(
                 list(value), num_perm=num_perm,

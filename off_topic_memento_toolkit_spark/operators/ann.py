@@ -93,7 +93,13 @@ def make_srp_signature_udf(dim: int, n_planes: int = 16, seed: int = 99):
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series((bits @ weights).astype(np.int32))
 
-    return srp_bucket
+    # planner hint, not semantics (the projection IS deterministic): the
+    # bucket equi-joins infer isnotnull(bucket) and push it below this
+    # projection, evaluating the UDF twice per side (guide §4.4 — observed
+    # in the ann_lsh_topk plan).  Non-deterministic blocks that pushdown;
+    # the UDF never returns null, so the filter was vacuous anyway.  Leaf
+    # UDF: nothing to un-fuse.
+    return srp_bucket.asNondeterministic()
 
 
 def lsh_cosine_topk(
@@ -196,7 +202,9 @@ def make_ivf_assign_udf(centroids):
         return pd.Series(np.argmax((M / norms[:, None]) @ C.T, axis=1)
                          .astype(np.int32))
 
-    return ivf_bucket
+    # planner hint — see make_srp_signature_udf: stops the bucket join's
+    # inferred isnotnull from duplicating the assignment UDF
+    return ivf_bucket.asNondeterministic()
 
 
 def make_ivf_probe_udf(centroids, nprobe: int):
@@ -215,7 +223,9 @@ def make_ivf_probe_udf(centroids, nprobe: int):
 
         return vecs.map(_p)
 
-    return ivf_probes
+    # planner hint — see make_srp_signature_udf (the probe list feeds an
+    # explode + bucket join; same inferred-filter duplication otherwise)
+    return ivf_probes.asNondeterministic()
 
 
 def ivf_cosine_topk(

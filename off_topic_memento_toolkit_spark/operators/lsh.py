@@ -34,11 +34,18 @@ def minhash_band_table(
     bands: int = 32,
     seed: int = 1234567,
 ) -> DataFrame:
-    """(id, band, band_hash) — one row per document per band."""
+    """(id, band, band_hash) — one row per document per band.
+
+    Null/empty-token documents are dropped by the ``posexplode`` itself (the
+    UDF maps them to NULL band arrays) rather than by an explicit filter: a
+    filter on the UDF output would be pushed below the enrichment exchange
+    and re-run the whole tokenize/minhash chain on the narrow pre-shuffle
+    side (guide §4.4) — the Generate-based drop leaves nothing for the
+    optimizer to push (InferFiltersFromGenerate is excluded in session.py
+    for the same reason)."""
     udf = make_minhash_bands_udf(num_perm, shingle_words, bands, seed)
     return (
         df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("_tokens"))
-        .filter(F.col("_tokens").isNotNull() & (F.size("_tokens") > 0))
         .withColumn("_bands", udf(F.col("_tokens")))
         .select("id", F.posexplode("_bands").alias("band", "band_hash"))
     )
@@ -62,6 +69,7 @@ _PAIR_EXPAND = pair_expand_expr("ids")
 def candidate_pairs_from_buckets(
     bucketed: DataFrame,
     max_bucket_size: int = 64,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """Equal buckets → (id_a < id_b) candidate pairs.
 
@@ -96,6 +104,13 @@ def candidate_pairs_from_buckets(
     but non-identical buckets.  Measured 8→32-thread efficiency of the
     dedup stage on the adversarial all-clique corpus: 0.14 → ≥0.5 raw
     (BENCH.md mechanism section).
+
+    ``distinct_pairs=False``: emit the expanded pairs without the final
+    pair-level ``distinct()`` — for callers that union several candidate
+    channels and distinct the union anyway (dedup_pipeline), where the
+    per-channel distinct would be a redundant extra exchange at every
+    scale.  Multiset differs (overlapping member sets emit a pair once per
+    set); the SET of pairs is identical.
     """
     from pyspark.sql import Window
 
@@ -106,14 +121,14 @@ def candidate_pairs_from_buckets(
     buckets = bounded_rows.groupBy("band", "band_hash").agg(
         F.collect_list("id").alias("ids"))
     member_sets = buckets.select(F.array_sort("ids").alias("ids")).distinct()
-    return (
+    pairs = (
         member_sets.select(F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
         .select(
             F.least("p.u", "p.v").alias("id_a"),
             F.greatest("p.u", "p.v").alias("id_b"),
         )
-        .distinct()
     )
+    return pairs.distinct() if distinct_pairs else pairs
 
 
 def dropped_bucket_stats(bucketed: DataFrame, max_bucket_size: int = 64) -> DataFrame:
@@ -195,6 +210,7 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket_size: int = 64,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """All pairs with hamming(simhash) ≤ max_hamming, found via chunk-bucket
     grouping (exhaustive when max_hamming ≤ chunks-1 by pigeonhole).
@@ -220,7 +236,7 @@ def simhash_candidate_pairs(
         F.collect_list(F.struct("id", "simhash")).alias("members"))
     buckets = buckets.select(
         F.array_sort("members").alias("members")).distinct()
-    return (
+    pairs = (
         buckets.select(F.explode(F.expr(pair_expand_expr("members")))
                        .alias("p"))
         .filter(
@@ -232,5 +248,5 @@ def simhash_candidate_pairs(
             F.least("p.u.id", "p.v.id").alias("id_a"),
             F.greatest("p.u.id", "p.v.id").alias("id_b"),
         )
-        .distinct()
     )
+    return pairs.distinct() if distinct_pairs else pairs

@@ -239,9 +239,16 @@ def score_timemap_measures(
         # 12x-repreprocess bug reborn at plan level — SURVEY §4.1).
         # Registered so long-lived sessions can release between batches
         # (session.release_session_pins).
+        #
+        # Project BEFORE the pin (guide §2.3): a persist materializes every
+        # column past Catalyst's pruning, and neither branch reads the raw
+        # html payload (the heaviest column), the url, or the language tag
+        # — at corpus scale that's the difference between caching the
+        # corpus and caching its features.
         from ..session import pin_for_session
 
-        df = pin_for_session(df)
+        df = pin_for_session(
+            df.drop(*[c for c in ("html", "url", "lang") if c in df.columns]))
 
     entries = []
     for name in pairwise:

@@ -70,25 +70,38 @@ def prepare_pages(
 
     # Python enrichment cost tracks ROWS, not bytes: a narrow parquet scan
     # (one small file → one partition) would serialize every UDF on one core.
-    # When the scan is narrower than the shuffle width, widen it ROUND-ROBIN
-    # before the UDFs: (a) hash-by-urit would put a viral host's whole
-    # timeline on one core exactly where the work is heaviest, and (b)
-    # ArrowEvalPython does not propagate outputPartitioning in Spark 4, so a
-    # keyed pre-shuffle could never be reused by the measure window anyway —
-    # the window's own exchange then moves enriched columns as usual.
-    # Already-wide inputs (a real cluster scan of 100 TB) skip this entirely,
-    # keeping the measure suite at exactly one shuffle; streams can't
-    # repartition mid-plan.
+    # When the input is small, widen it ROUND-ROBIN before the UDFs: (a)
+    # hash-by-urit would put a viral host's whole timeline on one core
+    # exactly where the work is heaviest, and (b) ArrowEvalPython does not
+    # propagate outputPartitioning in Spark 4, so a keyed pre-shuffle could
+    # never be reused by the measure window anyway — the window's own
+    # exchange then moves enriched columns as usual.
+    #
+    # The widen decision is PLAN-ONLY (optimizer size estimate): the old
+    # ``df.rdd.getNumPartitions()`` probe forced plan EXECUTION under AQE —
+    # eagerly running every upstream shuffle stage and broadcast build whose
+    # results the real action then could not reuse (measured: the
+    # dedupe_pages duplicate-key aggregation executed twice per dedup run,
+    # and at corpus scale the probe would pre-run a full narrow scan).
+    # Heuristic: widen iff the estimated input is smaller than one full
+    # shuffle round (shuffle_partitions × maxPartitionBytes) AND the plan
+    # is not already explicitly partitioned to the shuffle width.  A
+    # 100 TB cluster scan exceeds the threshold at any sane conf → no
+    # extra exchange in the wide regime (plan-asserted); a small input's
+    # round-robin costs MBs.  Narrow-but-huge sources (one unsplittable
+    # gzip) must widen at the source layer — bytes alone can't see them.
+    # Streams can't repartition mid-plan.
     if not df.isStreaming:
-        # the probe (df.rdd) forces physical planning and may eagerly fire
-        # small broadcast jobs buried in the input plan (e.g. the
-        # collection-dir source's manifest joins) — an acceptable one-off
-        # cost, because skipping the probe for joined inputs would leave a
-        # broadcast-joined narrow scan (output partitioning = the 1-partition
-        # file scan) serializing every UDF on one core
-        shuffle_n = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        if df.rdd.getNumPartitions() < shuffle_n:
+        conf = df.sparkSession.conf
+        shuffle_n = int(conf.get("spark.sql.shuffle.partitions"))
+        jutils = df._sc._jvm.org.apache.spark.network.util.JavaUtils
+        max_pb = jutils.byteStringAsBytes(
+            str(conf.get("spark.sql.files.maxPartitionBytes", "134217728")))
+        qe = df._jdf.queryExecution()
+        est_bytes = int(str(qe.optimizedPlan().stats().sizeInBytes()))
+        already_wide = (
+            qe.sparkPlan().outputPartitioning().numPartitions() == shuffle_n)
+        if est_bytes < shuffle_n * max_pb and not already_wide:
             df = df.repartition(shuffle_n)
 
     if recompute_text or "text" not in df.columns:

@@ -179,9 +179,18 @@ def dedup_pipeline(
         # session pin registry so long-lived sessions running many storeless
         # pipelines can drain the cache (session.release_session_pins) —
         # same contract as the measure/collection operator pins.
+        #
+        # Project before the pin (guide §2.3): the jaccard verify path never
+        # reads `text`, so caching it would materialize the corpus text for
+        # nothing — only the LCS verifier needs it.  (The store path keeps
+        # the full (nid, urim, text, tokens, raw_simhash) stage contract —
+        # incremental/takedown read the committed docs table.)
         from ..session import pin_for_session
 
-        docs = pin_for_session(docs)
+        pin_cols = ["nid", "urim", "tokens", "raw_simhash"]
+        if verify and verify_method == "lcs":
+            pin_cols.insert(2, "text")
+        docs = pin_for_session(docs.select(*pin_cols))
 
     def build_bands():
         # checkpointed as its OWN stage: the band table is the corpus state
@@ -196,12 +205,17 @@ def dedup_pipeline(
     band_table = stage("bands", build_bands)
 
     def build_candidates():
-        minhash_pairs = candidate_pairs_from_buckets(band_table)
+        # single-channel: the channel's own pair-distinct is the stage's
+        # dedup; two channels: distinct the UNION once — per-channel
+        # distincts would be redundant exchanges (the union distinct
+        # collapses within-channel duplicates too)
         if not use_simhash_channel:
-            return minhash_pairs
+            return candidate_pairs_from_buckets(band_table)
+        minhash_pairs = candidate_pairs_from_buckets(
+            band_table, distinct_pairs=False)
         simhash_pairs = simhash_candidate_pairs(
             docs, id_col="nid", simhash_col="raw_simhash",
-            max_hamming=max_hamming,
+            max_hamming=max_hamming, distinct_pairs=False,
         )
         return minhash_pairs.union(simhash_pairs).distinct()
 
@@ -265,6 +279,10 @@ def dedup_pipeline(
             docs.select("nid", "urim"), edges, id_col="nid",
             checkpoint_dir_writer=cc_writer,
             small_graph_threshold=cc_small_graph_threshold,
+            # verified edges are canonical unique pairs (candidates are
+            # distinct()-ed, verify emits one row per pair) — skip CC's
+            # entry distinct, a full shuffle of the edge set at any scale
+            assume_distinct=True,
         )
         return labeled.select("urim", "component")
 

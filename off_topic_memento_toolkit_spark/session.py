@@ -62,6 +62,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes size(arr)>0 filters above
+        # every Generate; when the array is a Python-UDF column the filter
+        # is then pushed below the enrichment exchange and re-evaluates the
+        # whole UDF chain on the narrow pre-shuffle side (guide §4.4
+        # duplication — measured: a full single-threaded extract+tokenize+
+        # minhash pass per band-table build).  Every explode in this engine
+        # runs over derived/UDF arrays where the inferred filter can never
+        # reach a file scan, so the rule only costs here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Arrow transfer for every pandas UDF / applyInPandas kernel
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
