@@ -191,6 +191,17 @@ def dedup_pipeline(
         if verify and verify_method == "lcs":
             pin_cols.insert(2, "text")
         docs = pin_for_session(docs.select(*pin_cols))
+        # Materialize the pin NOW: the cache has two consumers whose shuffle
+        # map stages AQE submits CONCURRENTLY (the minhash-band exchange and
+        # the simhash-chunk exchange), and concurrent first readers of an
+        # unfilled cache each compute the partitions themselves — the whole
+        # extract/tokenize/simhash enrichment ran twice in parallel (event
+        # log: two identical 32-task stages, 2×2.1 s at sf1).  One eager
+        # count = exactly one enrichment pass; its own cost is a scan of
+        # the just-built in-memory batches.  (The measures pin needs no
+        # fill: its two branches are separated by an exchange barrier, so
+        # the first reader always finishes before the second starts.)
+        docs.count()
 
     def build_bands():
         # checkpointed as its OWN stage: the band table is the corpus state
