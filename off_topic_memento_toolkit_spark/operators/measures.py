@@ -67,13 +67,44 @@ def _top20_terms_udf(tokens: pd.Series) -> pd.Series:
     return tokens.map(_top)
 
 
+_SCALARIZED = ("_set_inter", "_set_union", "_set_a_n", "_set_b_n",
+               "_tf20_inter", "_first_tokens_bad")
+
+
+def with_pairwise_scalars(df: DataFrame, pairwise) -> DataFrame:
+    """Reduce the per-row array algebra of the pairwise measures to scalar
+    columns (set-intersection/union sizes, the top-20 overlap count, the
+    first-anchor null flag) in ONE projection over the enriched frame.
+
+    The score expressions then reference only these scalars, so the persist
+    pin in :func:`score_timemap_measures` can DROP the wide token/top-20
+    arrays instead of caching them per row (guide §2.3 — cache the decision
+    bytes, not the payload).  Pure column renaming of the identical
+    expressions: NULL propagation (size/array_intersect of NULL → NULL) is
+    unchanged, which the *_vs_first oracles hash-check."""
+    cols = {}
+    if {"jaccard", "sorensen"} & set(pairwise):
+        set_a = F.array_distinct("first_tokens")
+        set_b = F.array_distinct("tokens")
+        cols["_set_inter"] = F.size(F.array_intersect(set_a, set_b))
+        cols["_set_union"] = F.size(F.array_union(set_a, set_b))
+        cols["_set_a_n"] = F.size(set_a)
+        cols["_set_b_n"] = F.size(set_b)
+    if "tfintersection" in pairwise:
+        cols["_tf20_inter"] = F.size(
+            F.array_intersect("first_top20", "top20"))
+    if {"wordcount", "jaccard", "sorensen", "levenshtein", "nlevenshtein",
+            "tfintersection", "tf_simhash"} & set(pairwise):
+        cols["_first_tokens_bad"] = F.col("first_tokens").isNull()
+    return df.withColumns(cols) if cols else df
+
+
 def _pairwise_score_column(name):
     """JVM-side score expression for one pairwise measure, over the enriched
-    frame with first_* columns present.  Returns (score_col, error_col)."""
-    set_a = F.array_distinct("first_tokens")
-    set_b = F.array_distinct("tokens")
-    inter = F.size(F.array_intersect(set_a, set_b))
-    union = F.size(F.array_union(set_a, set_b))
+    frame with first_* columns and the :func:`with_pairwise_scalars` columns
+    present.  Returns (score_col, error_col)."""
+    inter = F.col("_set_inter")
+    union = F.col("_set_union")
 
     if name == "bytecount":
         score = (F.col("raw_len") / F.col("first_raw_len") - 1).cast("double")
@@ -82,37 +113,36 @@ def _pairwise_score_column(name):
         row_bad = F.col("raw_len").isNull()
     elif name == "wordcount":
         score = (F.col("n_tokens") / F.col("first_n_tokens") - 1).cast("double")
-        first_bad = F.col("first_tokens").isNull()
+        first_bad = F.col("_first_tokens_bad")
         first_empty = F.col("first_n_tokens") == 0
         row_bad = F.col("tokens").isNull()
     elif name == "jaccard":
         score = (F.lit(1.0) - inter / union).cast("double")
-        first_bad = F.col("first_tokens").isNull()
+        first_bad = F.col("_first_tokens_bad")
         first_empty = F.col("first_n_tokens") == 0
         row_bad = F.col("tokens").isNull()
     elif name == "sorensen":
-        score = (F.lit(1.0) - (F.lit(2.0) * inter) / (F.size(set_a) + F.size(set_b))).cast("double")
-        first_bad = F.col("first_tokens").isNull()
+        score = (F.lit(1.0) - (F.lit(2.0) * inter)
+                 / (F.col("_set_a_n") + F.col("_set_b_n"))).cast("double")
+        first_bad = F.col("_first_tokens_bad")
         first_empty = F.col("first_n_tokens") == 0
         row_bad = F.col("tokens").isNull()
     elif name == "levenshtein":
         # `_lev` computed once upstream and shared with nlevenshtein
         score = F.col("_lev").cast("double")
-        first_bad = F.col("first_tokens").isNull()
+        first_bad = F.col("_first_tokens_bad")
         first_empty = F.col("first_n_tokens") == 0
         row_bad = F.col("tokens").isNull()
     elif name == "nlevenshtein":
         longest = F.greatest("first_n_tokens", "n_tokens")
         score = F.when(longest == 0, F.lit(0.0)) \
                  .otherwise(F.col("_lev") / longest).cast("double")
-        first_bad = F.col("first_tokens").isNull()
+        first_bad = F.col("_first_tokens_bad")
         first_empty = F.col("first_n_tokens") == 0
         row_bad = F.col("tokens").isNull()
     elif name == "tfintersection":
-        score = F.size(
-            F.array_intersect("first_top20", "top20")
-        ).cast("double")
-        first_bad = F.col("first_tokens").isNull()
+        score = F.col("_tf20_inter").cast("double")
+        first_bad = F.col("_first_tokens_bad")
         first_empty = F.col("first_n_tokens") == 0
         row_bad = F.col("tokens").isNull()
     elif name == "raw_simhash":
@@ -126,7 +156,7 @@ def _pairwise_score_column(name):
         score = F.bit_count(
             F.col("first_tf_simhash").bitwiseXOR(F.col("tf_simhash"))
         ).cast("double")
-        first_bad = F.col("first_tokens").isNull()
+        first_bad = F.col("_first_tokens_bad")
         first_empty = F.col("first_n_tokens") == 0
         row_bad = F.col("tokens").isNull()
     else:
@@ -233,6 +263,11 @@ def score_timemap_measures(
         need_lev=bool({"levenshtein", "nlevenshtein"} & set(pairwise)),
         strategy=first_anchor_strategy,
     )
+    # fold the pairwise array algebra into scalar columns BEFORE any pin —
+    # in the unpinned path Catalyst collapses these into the same
+    # projection (identical plan), in the pinned path they let the cache
+    # drop the widest arrays below
+    df = with_pairwise_scalars(df, pairwise)
     if pairwise and grouped:
         # the union fans out into two plan branches; without a persist the
         # extract/tokenize UDFs would run once per branch (the reference's
@@ -242,13 +277,16 @@ def score_timemap_measures(
         #
         # Project BEFORE the pin (guide §2.3): a persist materializes every
         # column past Catalyst's pruning, and neither branch reads the raw
-        # html payload (the heaviest column), the url, or the language tag
-        # — at corpus scale that's the difference between caching the
-        # corpus and caching its features.
+        # html payload, the url, the language tag — or, now that the set
+        # algebra is scalarized above, the first-anchor token and top-20
+        # arrays (the widest remaining cached columns; `tokens` itself
+        # stays for the LSI/LDA branch and the row-level null gates).
         from ..session import pin_for_session
 
+        droppable = ("html", "url", "lang",
+                     "first_tokens", "top20", "first_top20")
         df = pin_for_session(
-            df.drop(*[c for c in ("html", "url", "lang") if c in df.columns]))
+            df.drop(*[c for c in droppable if c in df.columns]))
 
     entries = []
     for name in pairwise:
