@@ -195,10 +195,16 @@ def simhash_chunk_table(
         )
         for c in range(chunks)
     ])
+    # null simhashes are dropped by the explode (NULL slice array), not a
+    # filter: a filter on what is usually a UDF-derived column gets pushed
+    # below the enrichment exchange and re-evaluates the simhash UDF on the
+    # narrow pre-shuffle side (guide §4.4 — same pathology as the minhash
+    # band filter, same fix)
     return (
         df.select(F.col(id_col).alias("id"), F.col(simhash_col).alias("simhash"))
-        .filter(F.col("simhash").isNotNull())
-        .withColumn("_slice", F.explode(slices))
+        .withColumn(
+            "_slice",
+            F.explode(F.when(F.col("simhash").isNotNull(), slices)))
         .select("id", "simhash", "_slice.chunk", "_slice.chunk_value")
     )
 

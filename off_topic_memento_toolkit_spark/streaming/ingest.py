@@ -49,9 +49,14 @@ def streaming_near_dup_suppression(enriched: DataFrame) -> DataFrame:
     :func:`streaming_exact_dedup_batch_equivalent` — dedup keys treat nulls
     as equal, so without the filter distinct unparseable pages would
     wrongly collapse into one "duplicate" group while the batch twin
-    emits none of them."""
+    emits none of them.  The gate tests ``html`` (the raw input), not
+    ``raw_simhash``: the simhash UDF is null-preserving and never null
+    otherwise, so the two are equivalent — but a filter on the UDF output
+    is pushed below the enrichment projection and re-runs the UDF per
+    micro-batch (guide §4.4), while the input-column filter pushes all the
+    way to the source scan and skips null rows BEFORE enrichment."""
     return (
-        enriched.filter(F.col("raw_simhash").isNotNull())
+        enriched.filter(F.col("html").isNotNull())
         .dropDuplicatesWithinWatermark(["url", "raw_simhash"])
     )
 
@@ -202,8 +207,13 @@ def streaming_exact_dedup_batch_equivalent(pages: DataFrame) -> DataFrame:
 
     enriched = prepare_pages(pages)
     window = Window.partitionBy("url", "raw_simhash").orderBy("warc_ts", "urim")
+    # html gate, not raw_simhash — see streaming_near_dup_suppression: the
+    # simhash UDF is null-preserving, so the gates are equivalent, and the
+    # input-column filter pushes to the scan instead of duplicating the UDF
+    # below the widen exchange (guide §4.4; this plan showed two
+    # simhash_raw_udf evaluations, one single-threaded, before the change)
     return (
-        enriched.filter(F.col("raw_simhash").isNotNull())
+        enriched.filter(F.col("html").isNotNull())
         .withColumn("_occ", F.row_number().over(window))
         .filter(F.col("_occ") == 1)
         .drop("_occ")
