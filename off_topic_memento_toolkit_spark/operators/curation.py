@@ -325,12 +325,15 @@ def _category_column(host):
     The reference's patterns ('.*t.co.*', '.*redd.it.*', ...) leave the
     dots UNESCAPED — ``.`` is an any-char wildcard there, so e.g.
     'tacoma.com' ('t'+'a'+'co') is categorized as t.co/0.5 by the
-    reference.  Preserved verbatim: do NOT escape the dots."""
+    reference.  Preserved verbatim: do NOT escape the dots.
+
+    Each group compiles to ONE alternation regex: the patterns are plain
+    literals-plus-dot-wildcards (no metacharacters that alternation could
+    rebind), so ``rlike(a)|rlike(b)|…`` ≡ ``rlike("a|b|…")`` — one regex
+    evaluation per group per row instead of eight, and an order of
+    magnitude fewer Column constructions at plan-build time."""
     def any_match(*patterns):
-        cond = F.lit(False)
-        for p in patterns:
-            cond = cond | host.rlike(p)
-        return cond
+        return host.rlike("|".join(patterns))
 
     return (
         F.when(host.isNull(), F.lit(-1.0))

@@ -208,11 +208,14 @@ def enrich_with_firsts(
         first_columns.append("top20")
 
     if strategy == "window":
-        for column in first_columns:
-            if column == "top20":
-                df = df.withColumn("first_top20", first_over_timeline("top20"))
-            else:
-                df = df.withColumn(f"first_{column}", first_over_timeline(column))
+        # one withColumns call: each chained withColumn re-analyzes the
+        # whole (already large) plan, and the first-anchor loop was six of
+        # them — the columns are independent, so a single Project is
+        # identical and cuts plan-build time
+        df = df.withColumns({
+            f"first_{column}": first_over_timeline(column)
+            for column in first_columns
+        })
     elif strategy == "join":
         ordering = F.struct(F.col("warc_ts"), F.col("urim"))
         firsts = df.groupBy("urit").agg(

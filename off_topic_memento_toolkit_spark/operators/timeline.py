@@ -114,13 +114,13 @@ def prepare_pages(
             F.coalesce(F.col("text"), extract_text_udf(F.col("html"))),
         )
 
-    df = (
-        df.withColumn("raw_len", F.octet_length("html"))
-        .withColumn("tokens", tokenize_udf(F.col("text")))
-        .withColumn("n_tokens", F.size("tokens"))
-    )
+    df = df.withColumns({
+        "raw_len": F.octet_length("html"),
+        "tokens": tokenize_udf(F.col("text")),
+    })
+    extra = {"n_tokens": F.size("tokens")}
     if need_raw_simhash:
-        df = df.withColumn("raw_simhash", simhash_raw_udf(F.col("html")))
+        extra["raw_simhash"] = simhash_raw_udf(F.col("html"))
     if need_tf_simhash:
-        df = df.withColumn("tf_simhash", simhash_tokens_udf(F.col("tokens")))
-    return df
+        extra["tf_simhash"] = simhash_tokens_udf(F.col("tokens"))
+    return df.withColumns(extra)
